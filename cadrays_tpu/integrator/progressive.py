@@ -1,0 +1,98 @@
+"""Progressive accumulation with restart-on-change.
+
+Contract: the reference accumulates one sample pass per Redraw into
+ping-pong FBOs and restarts accumulation whenever the camera world-view
+state changes (AppViewer.cxx:979-984, 1045-1047; AppGui.cxx:122-136
+`myAccumFrames`). TPU equivalent: the accumulator is a plain sharded
+array in a pytree; "restart" is comparing a fingerprint of the
+scene/camera/params snapshot and zeroing the state. The state is also the
+resumable render checkpoint (SURVEY.md §5 checkpoint/resume) — serialize
+it with orbax/np.save and continue adding samples later.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cadrays_tpu.core.camera import Camera
+from cadrays_tpu.integrator.params import RenderParams
+from cadrays_tpu.integrator.renderer import render_image
+from cadrays_tpu.scene.flatten import SceneData
+
+
+@flax.struct.dataclass
+class ProgressiveState:
+    accum: jnp.ndarray  # (H, W, 3) running radiance *sum*
+    spp: jnp.ndarray  # scalar int32 — accumulated sample count
+    fingerprint: str = flax.struct.field(pytree_node=False, default="")
+
+    @property
+    def image(self) -> jnp.ndarray:
+        """Current HDR estimate."""
+        return self.accum / jnp.maximum(self.spp.astype(jnp.float32), 1.0)
+
+
+def state_fingerprint(scene: SceneData, camera: Camera,
+                      params: RenderParams, width: int, height: int) -> str:
+    """Cheap content hash of everything that invalidates accumulation."""
+    h = hashlib.sha1()
+    h.update(f"{width}x{height}".encode())
+    for leaf in jax.tree.leaves((camera, params)):
+        h.update(np.asarray(leaf).tobytes())
+    # Scene identity: hash shapes + a strided subsample of the big arrays
+    # (full geometry hashing would stall the host on every frame).
+    for leaf in jax.tree.leaves(scene):
+        a = np.asarray(leaf)
+        h.update(str(a.shape).encode())
+        flat = a.reshape(-1)
+        h.update(flat[:: max(1, flat.size // 256)].tobytes())
+    return h.hexdigest()
+
+
+def init_state(width: int, height: int, fingerprint: str = "") -> ProgressiveState:
+    return ProgressiveState(
+        accum=jnp.zeros((height, width, 3), jnp.float32),
+        spp=jnp.int32(0),
+        fingerprint=fingerprint,
+    )
+
+
+def progressive_step(
+    scene: SceneData,
+    camera: Camera,
+    params: RenderParams,
+    width: int,
+    height: int,
+    state: Optional[ProgressiveState] = None,
+    samples_per_step: int = 1,
+) -> ProgressiveState:
+    """Add `samples_per_step` spp, restarting if the scene state changed."""
+    fp = state_fingerprint(scene, camera, params, width, height)
+    if state is None or state.fingerprint != fp \
+            or state.accum.shape[:2] != (height, width):
+        state = init_state(width, height, fp)
+    img = render_image(scene, camera, params, width, height,
+                       samples_per_step, jnp.uint32(state.spp))
+    return ProgressiveState(
+        accum=state.accum + img * samples_per_step,
+        spp=state.spp + samples_per_step,
+        fingerprint=fp,
+    )
+
+
+def save_state(state: ProgressiveState, path: str) -> None:
+    np.savez(path, accum=np.asarray(state.accum), spp=np.asarray(state.spp),
+             fingerprint=state.fingerprint)
+
+
+def load_state(path: str) -> ProgressiveState:
+    z = np.load(path, allow_pickle=False)
+    return ProgressiveState(
+        accum=jnp.asarray(z["accum"]), spp=jnp.int32(z["spp"]),
+        fingerprint=str(z["fingerprint"]),
+    )

@@ -1,0 +1,319 @@
+"""Wavefront path-tracing integrator (the heart of the framework).
+
+Reference capability: OCCT's GLSL *megakernel* path tracer with NEE,
+double-layer BSDF and progressive accumulation [OCCT-contract, SURVEY.md
+§2.5]. TPU redesign: a megakernel's per-thread control flow is hostile to
+a lockstep vector machine, so the integrator is a **wavefront**: one
+statically-shaped batch of rays advances through `lax.scan` over bounces;
+dead lanes are masked, never compacted (static shapes are an XLA
+requirement — SURVEY.md §7.3 hard part #3). Each scan step does:
+
+  trace -> medium absorption -> emission/env (MIS) -> NEE (lights,
+  emissive triangles, env map) -> BSDF sample -> Russian roulette.
+
+Everything is differentiable: discrete decisions (hit ids, lobe choices,
+RR survival) are detached; continuous quantities are recomputed from them
+(ops/hit.py, detached-sampling BSDF weights in core/bsdf.py), so pixel
+gradients reach material, light, camera and env parameters.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cadrays_tpu.core import rng as crng
+from cadrays_tpu.core import sampling as smp
+from cadrays_tpu.core import vecmath as vm
+from cadrays_tpu.core.bsdf import absorption_sigma, eval_bsdf, sample_bsdf
+from cadrays_tpu.core.camera import Camera
+from cadrays_tpu.core.lights import sample_light
+from cadrays_tpu.integrator.params import RenderParams
+from cadrays_tpu.ops import envmap as envops
+from cadrays_tpu.ops.hit import hit_attributes
+from cadrays_tpu.ops.intersect import INF, offset_ray_origin
+from cadrays_tpu.ops.texture import sample_texture
+from cadrays_tpu.ops.traverse import trace
+from cadrays_tpu.scene.flatten import SceneData
+
+# RNG dimension allocation per bounce (keep decorrelated streams).
+_DIM_PIXEL = 0
+_DIM_LENS = 1
+_DIM_BSDF = 2
+_DIM_NEE = 3
+_DIM_RR = 4
+_DIMS_PER_BOUNCE = 8
+
+
+def _rng_dim(bounce, slot):
+    return _DIMS_PER_BOUNCE * bounce + slot + 16  # 0..15 reserved for camera
+
+
+def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
+                  width: int, height: int, sample_id, pixel_ids=None):
+    """Trace one sample per pixel; returns (R, 3) linear radiance.
+
+    pixel_ids: optional (R,) int32 subset/permutation of pixels (adaptive
+    tiles / sharding); defaults to all H*W pixels in scanline order.
+    """
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
+    R = pixel_ids.shape[0]
+    seed = params.seed
+    sample_id = jnp.asarray(sample_id, jnp.uint32)
+
+    px = (pixel_ids % width).astype(jnp.float32)
+    py = (pixel_ids // width).astype(jnp.float32)
+
+    # Camera samples: pixel jitter + lens.
+    jx, jy, ul0, ul1 = crng.sample4(pixel_ids, sample_id, _DIM_PIXEL, seed)
+    origin, direction = camera.generate_rays(
+        px + jx, py + jy, ul0, ul1, width, height
+    )
+
+    has_lights = scene.lights.count > 0
+    has_emissive = scene.emissive.count > 0
+    has_env = scene.envmap.enabled
+
+    state = dict(
+        origin=origin,
+        direction=direction,
+        throughput=jnp.ones((R, 3), jnp.float32),
+        radiance=jnp.zeros((R, 3), jnp.float32),
+        alive=jnp.ones((R,), bool),
+        prev_pdf=jnp.zeros((R,), jnp.float32),
+        prev_delta=jnp.ones((R,), bool),  # primary rays: no MIS on first hit
+        sigma=jnp.zeros((R, 3), jnp.float32),  # current medium extinction
+    )
+
+    def rng4(bounce, slot):
+        pid = pixel_ids if not params.coherent else jnp.zeros_like(pixel_ids)
+        return crng.sample4(pid, sample_id, _rng_dim(bounce, slot), seed)
+
+    def bounce_step(state, bounce):
+        o, d = state["origin"], state["direction"]
+        res = trace(scene.geometry, o, d, jnp.full((R,), INF))
+        h = hit_attributes(scene.geometry, o, d, res["tri"])
+        hit = h["hit"] & state["alive"]
+        miss = (~h["hit"]) & state["alive"]
+
+        # Beer-Lambert absorption through the current medium.
+        seg = jnp.where(h["hit"], h["t"], 0.0)
+        transmittance = jnp.exp(-state["sigma"] * seg[..., None])
+        throughput = state["throughput"] * transmittance
+        radiance = state["radiance"]
+
+        # ---- miss: environment / background ----------------------------
+        if has_env:
+            env_rad = envops.eval_env(scene.envmap, d)
+            if scene.envmap.background:
+                primary_scale = 1.0
+            else:
+                primary_scale = 0.0
+            w_mis = jnp.where(
+                state["prev_delta"],
+                1.0,
+                smp.power_heuristic(state["prev_pdf"],
+                                    envops.pdf_env(scene.envmap, d)),
+            )
+            scale = jnp.where(bounce == 0, primary_scale, w_mis)
+            radiance = radiance + jnp.where(
+                miss[..., None], throughput * env_rad * scale[..., None], 0.0
+            )
+        bg = jnp.where((bounce == 0) & miss, 1.0, 0.0)
+        if not (has_env and scene.envmap.background):
+            radiance = radiance + bg[..., None] * params.background_color
+
+        # ---- surface shading -------------------------------------------
+        mat = scene.materials.gather(h["mat_id"])
+        tex = sample_texture(scene.textures, mat.tex_id, h["uv"], mat.uv_scale)
+        mat = mat.replace(kd=mat.kd * tex)
+
+        n = h["n_shade"]
+        wo = -d
+        p_off = offset_ray_origin(h["position"], h["n_geom"], h["n_geom"])
+
+        # Emitted radiance at the hit (MIS against emissive-tri NEE).
+        le = mat.le
+        emitting = vm.luminance(le) > 0.0
+        if has_emissive:
+            d2 = jnp.maximum(h["t"] * h["t"], 1e-12)
+            cos_l = jnp.clip(vm.dot(wo, h["n_geom"]), 1e-6, 1.0)
+            lum_le = vm.luminance(le)
+            pdf_light_sa = lum_le * d2 / jnp.maximum(
+                scene.emissive.total_power * cos_l, 1e-12
+            )
+            w_emit = jnp.where(
+                state["prev_delta"] | (bounce == 0),
+                1.0,
+                smp.power_heuristic(state["prev_pdf"], pdf_light_sa),
+            )
+        else:
+            w_emit = jnp.ones((R,), jnp.float32)
+        # Only front faces emit (one-sided emitters).
+        emit_mask = hit & emitting & h["front"]
+        radiance = radiance + jnp.where(
+            emit_mask[..., None], throughput * le * w_emit[..., None], 0.0
+        )
+
+        # ---- next-event estimation -------------------------------------
+        nee = jnp.zeros((R, 3), jnp.float32)
+        if has_lights:
+            u = rng4(bounce, _DIM_NEE)
+            lsel = jnp.minimum(
+                (u[0] * scene.lights.count).astype(jnp.int32),
+                scene.lights.count - 1,
+            )
+            ls = sample_light(scene.lights, lsel, h["position"], u[1], u[2])
+            f, _ = eval_bsdf(mat, wo, ls["wi"], n)
+            cos_i = jnp.clip(vm.dot(ls["wi"], n), 0.0, 1.0)
+            vis_need = hit & ls["valid"] & (cos_i > 0.0)
+            occ = trace(
+                scene.geometry,
+                offset_ray_origin(h["position"], h["n_geom"], ls["wi"]),
+                ls["wi"],
+                jnp.where(vis_need, ls["dist"] * (1.0 - 1e-4), 0.0),
+                any_hit=True,
+            )["tri"] >= 0
+            contrib = ls["contrib"] * f * (cos_i * scene.lights.count)[..., None]
+            nee = nee + jnp.where((vis_need & ~occ)[..., None], contrib, 0.0)
+
+        if has_emissive:
+            u = rng4(bounce, _DIM_NEE + 1)
+            em = _sample_emissive(scene, h["position"], u)
+            f, pdf_b = eval_bsdf(mat, wo, em["wi"], n)
+            cos_i = jnp.clip(vm.dot(em["wi"], n), 0.0, 1.0)
+            vis_need = hit & em["valid"] & (cos_i > 0.0)
+            occ = trace(
+                scene.geometry,
+                offset_ray_origin(h["position"], h["n_geom"], em["wi"]),
+                em["wi"],
+                jnp.where(vis_need, em["dist"] * (1.0 - 1e-3), 0.0),
+                any_hit=True,
+            )["tri"] >= 0
+            w_mis = smp.power_heuristic(em["pdf_sa"], pdf_b)
+            contrib = em["le"] * f * (
+                cos_i * w_mis / jnp.maximum(em["pdf_sa"], 1e-12)
+            )[..., None]
+            nee = nee + jnp.where((vis_need & ~occ)[..., None], contrib, 0.0)
+
+        if has_env:
+            u = rng4(bounce, _DIM_NEE + 2)
+            wi_e, rad_e, pdf_e = envops.sample_env(scene.envmap, u[0], u[1])
+            f, pdf_b = eval_bsdf(mat, wo, wi_e, n)
+            cos_i = jnp.clip(vm.dot(wi_e, n), 0.0, 1.0)
+            vis_need = hit & (pdf_e > 0.0) & (cos_i > 0.0)
+            occ = trace(
+                scene.geometry,
+                offset_ray_origin(h["position"], h["n_geom"], wi_e),
+                wi_e,
+                jnp.where(vis_need, INF, 0.0),
+                any_hit=True,
+            )["tri"] >= 0
+            w_mis = smp.power_heuristic(pdf_e, pdf_b)
+            contrib = rad_e * f * (
+                cos_i * w_mis / jnp.maximum(pdf_e, 1e-12)
+            )[..., None]
+            nee = nee + jnp.where((vis_need & ~occ)[..., None], contrib, 0.0)
+
+        radiance = radiance + throughput * nee
+
+        # ---- BSDF sampling ---------------------------------------------
+        u = jnp.stack(rng4(bounce, _DIM_BSDF), axis=-1)
+        bs = sample_bsdf(mat, wo, n, u)
+        new_dir = bs["wi"]
+        new_origin = offset_ray_origin(h["position"], h["n_geom"], new_dir)
+        throughput_next = throughput * bs["weight"]
+
+        # Medium tracking on refraction through the surface.
+        sig_mat = absorption_sigma(mat)
+        entering = bs["transmitted"] & h["front"]
+        exiting = bs["transmitted"] & (~h["front"])
+        sigma = state["sigma"]
+        sigma = jnp.where(entering[..., None], sig_mat, sigma)
+        sigma = jnp.where(exiting[..., None], 0.0, sigma)
+
+        alive = hit & bs["valid"] & (vm.luminance(throughput_next) > 0.0)
+
+        # Russian roulette (unbiased, detached survival probability).
+        ur = rng4(bounce, _DIM_RR)[0]
+        p_sur = jnp.clip(jnp.max(jax.lax.stop_gradient(throughput_next),
+                                 axis=-1), 0.05, 0.95)
+        do_rr = bounce >= params.rr_start
+        survive = jnp.where(do_rr, ur < p_sur, True)
+        throughput_next = jnp.where(
+            (do_rr & survive)[..., None],
+            throughput_next / p_sur[..., None], throughput_next
+        )
+        alive = alive & survive
+
+        new_state = dict(
+            origin=new_origin,
+            direction=new_dir,
+            throughput=jnp.where(alive[..., None], throughput_next, 0.0),
+            radiance=radiance,
+            alive=alive,
+            prev_pdf=bs["pdf"],
+            prev_delta=bs["is_delta"],
+            sigma=sigma,
+        )
+        return new_state, None
+
+    state, _ = jax.lax.scan(
+        bounce_step, state, jnp.arange(params.ray_depth), length=params.ray_depth
+    )
+
+    # Tail: rays still alive after the last bounce pick up the environment
+    # through one final miss-check is skipped (bounded depth, like the
+    # reference's RaytracingDepth cutoff).
+    radiance = state["radiance"]
+
+    # Radiance clamping (SettingsWidget.cxx:318-326): bound the per-sample
+    # contribution to trade energy for variance.
+    clamp = jnp.maximum(params.radiance_clamp, 1.0)
+    peak = jnp.max(radiance, axis=-1, keepdims=True)
+    scale = jnp.where(peak > clamp, clamp / jnp.maximum(peak, 1e-12), 1.0)
+    radiance = radiance * scale
+
+    return jnp.nan_to_num(radiance, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def _sample_emissive(scene: SceneData, p, u):
+    """Sample a point on the emissive-triangle table (power-proportional)."""
+    em = scene.emissive
+    idx = jnp.searchsorted(em.cdf, u[0], side="left")
+    idx = jnp.clip(idx, 0, em.cdf.shape[0] - 1)
+    tid = em.tri_idx[idx]
+    g = scene.geometry
+    i0, i1, i2 = g.tri_v[tid, 0], g.tri_v[tid, 1], g.tri_v[tid, 2]
+    p0, p1, p2 = g.vertices[i0], g.vertices[i1], g.vertices[i2]
+    # uniform point on triangle
+    su = jnp.sqrt(jnp.clip(u[1], 1e-12, 1.0))
+    b0 = 1.0 - su
+    b1 = u[2] * su
+    q = (
+        p0 * b0[..., None] + p1 * b1[..., None]
+        + p2 * (1.0 - b0 - b1)[..., None]
+    )
+    n_l = vm.normalize(jnp.cross(p1 - p0, p2 - p0))
+    to_q = q - p
+    d2 = jnp.maximum(vm.dot(to_q, to_q), 1e-12)
+    dist = jnp.sqrt(d2)
+    wi = to_q / dist[..., None]
+    cos_l = vm.dot(-wi, n_l)
+    # one-sided emitter: light leaves the front face only
+    facing = cos_l > 1e-6
+    mat = scene.materials.gather(g.tri_mat[tid])
+    le = mat.le
+    # pdf: power-proportional triangle choice * uniform area -> solid angle
+    lum_le = jnp.maximum(vm.luminance(le), 1e-12)
+    pdf_area = lum_le / jnp.maximum(em.total_power, 1e-12)
+    pdf_sa = pdf_area * d2 / jnp.clip(cos_l, 1e-6, None)
+    return {
+        "wi": wi,
+        "dist": dist,
+        "le": le,
+        "pdf_sa": pdf_sa,
+        "valid": facing & (em.total_power > 0.0),
+    }

@@ -1,0 +1,78 @@
+"""Differentiable hit attributes.
+
+Traversal (ops/traverse.py) returns only discrete topology: the triangle
+id per ray. Everything continuous — hit distance, position, barycentrics,
+normals, UVs — is *recomputed* here from the gathered triangle and the ray
+with plain differentiable jnp math. This is the detached-topology
+construction that makes the whole renderer differentiable: gradients flow
+through geometry/material/camera parameters while the discrete hit
+decision stays fixed (SURVEY.md §7.3 hard part #2).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cadrays_tpu.core import vecmath as vm
+from cadrays_tpu.scene.flatten import GeometryData
+
+
+def hit_attributes(geom: GeometryData, origin, direction, tri):
+    """Compute shading data for rays whose traversal chose triangle `tri`.
+
+    tri: (R,) int32, -1 for miss (lanes still computed, mask with `hit`).
+    Returns dict: hit(bool), t, position, n_geom, n_shade (oriented toward
+    the incoming ray), uv, mat_id, front (bool: hit on the front face).
+    """
+    hit = tri >= 0
+    tid = jnp.maximum(tri, 0)
+    i0 = geom.tri_v[tid, 0]
+    i1 = geom.tri_v[tid, 1]
+    i2 = geom.tri_v[tid, 2]
+    p0, p1, p2 = geom.vertices[i0], geom.vertices[i1], geom.vertices[i2]
+
+    # Differentiable Moller-Trumbore on the selected triangle.
+    e1 = p1 - p0
+    e2 = p2 - p0
+    pvec = jnp.cross(direction, e2)
+    det = vm.dot(e1, pvec)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    tvec = origin - p0
+    u = vm.dot(tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = vm.dot(direction, qvec) * inv_det
+    t = vm.dot(e2, qvec) * inv_det
+    u = jnp.clip(u, 0.0, 1.0)
+    v = jnp.clip(v, 0.0, 1.0)
+    w = jnp.clip(1.0 - u - v, 0.0, 1.0)
+
+    position = origin + direction * t[..., None]
+
+    n_geom = vm.normalize(jnp.cross(e1, e2))
+    n0, n1, n2 = geom.normals[i0], geom.normals[i1], geom.normals[i2]
+    n_shade = vm.normalize(
+        w[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2
+    )
+    # Keep the shading normal on the same side as the geometric normal.
+    n_shade = jnp.where(
+        vm.dot(n_shade, n_geom, keepdims=True) < 0.0, -n_shade, n_shade
+    )
+
+    uv0, uv1, uv2 = geom.uvs[i0], geom.uvs[i1], geom.uvs[i2]
+    uv = w[..., None] * uv0 + u[..., None] * uv1 + v[..., None] * uv2
+
+    front = vm.dot(direction, n_geom) < 0.0
+    # Orient both normals against the incoming ray (two-sided shading).
+    flip = jnp.where(front, 1.0, -1.0)[..., None]
+    n_geom_o = n_geom * flip
+    n_shade_o = n_shade * flip
+
+    return {
+        "hit": hit,
+        "t": t,
+        "position": position,
+        "n_geom": n_geom_o,
+        "n_shade": n_shade_o,
+        "uv": uv,
+        "mat_id": geom.tri_mat[tid],
+        "front": front,
+    }

@@ -1,0 +1,233 @@
+"""Scene export/import: serialize a Session to a re-runnable script + assets.
+
+Capability contract (reference ie::ImportExport, ImportExport.cxx:350-612):
+export writes a directory with `model.tcl` + `meshes/*.ply` +
+`textures/*` such that sourcing the script reconstructs the scene —
+shapes, full vbsdf material dumps, transforms, hierarchy (rtgroup),
+camera, env map and lights. That *is* the checkpoint format (SURVEY.md §5
+"checkpoint/resume"). Here the script is our command language
+(cli/commands.py), file `model.crt`; meshes go to binary PLY.
+"""
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+
+from cadrays_tpu.core.bsdf import Material
+from cadrays_tpu.core.camera import ORTHOGRAPHIC
+from cadrays_tpu.core.fresnel import (
+    FRESNEL_CONDUCTOR,
+    FRESNEL_CONSTANT,
+    FRESNEL_DIELECTRIC,
+    FRESNEL_SCHLICK,
+)
+from cadrays_tpu.core.tonemap import TONE_FILMIC
+from cadrays_tpu.geometry.loaders.ply import save_ply
+from cadrays_tpu.integrator.params import RenderMode
+from cadrays_tpu.scene.model import DataNode
+from cadrays_tpu.utils.image import write_hdr
+
+
+def _fmt(x) -> str:
+    return f"{float(x):.6g}"
+
+
+def _fmt3(v) -> str:
+    a = np.asarray(v).reshape(-1)
+    return " ".join(_fmt(x) for x in a[:3])
+
+
+def _fresnel_str(ftype: int, fparams: np.ndarray) -> str:
+    p = np.asarray(fparams).reshape(-1)
+    if ftype == FRESNEL_CONSTANT:
+        return f"Constant {_fmt(p[0])}"
+    if ftype == FRESNEL_SCHLICK:
+        return f"Schlick {_fmt(p[0])} {_fmt(p[1])} {_fmt(p[2])}"
+    if ftype == FRESNEL_CONDUCTOR:
+        return f"Conductor {_fmt(p[0])} {_fmt(p[1])}"
+    return f"Dielectric {_fmt(p[0])}"
+
+
+def bsdf_commands(name: str, m: Material) -> List[str]:
+    """Full lobe dump — mirrors ImportExport.cxx:155-231 flag-for-flag."""
+    out = [
+        f"vbsdf {name} -Kc {_fmt3(m.kc)}",
+        f"vbsdf {name} -Kd {_fmt3(m.kd)}",
+        f"vbsdf {name} -Ks {_fmt3(m.ks)}",
+        f"vbsdf {name} -Kt {_fmt3(m.kt)}",
+        f"vbsdf {name} -baseRoughness {_fmt(np.asarray(m.base_rough)[0])}",
+        f"vbsdf {name} -coatRoughness {_fmt(np.asarray(m.coat_rough)[0])}",
+        f"vbsdf {name} -Le {_fmt3(m.le)}",
+        f"vbsdf {name} -absorpColor {_fmt3(m.absorp_color)}",
+        f"vbsdf {name} -absorpCoeff {_fmt(np.asarray(m.absorp_coeff)[0])}",
+        f"vbsdf {name} -coatFresnel "
+        + _fresnel_str(int(np.asarray(m.coat_ftype)[0]), m.coat_fparams),
+        f"vbsdf {name} -baseFresnel "
+        + _fresnel_str(int(np.asarray(m.base_ftype)[0]), m.base_fparams),
+    ]
+    return out
+
+
+def _transform_commands(name: str, node: DataNode) -> List[str]:
+    """Decompose the node transform into -rotation quat / -scale /
+    -location (ImportExport.cxx:276-305 serialization shape)."""
+    m = np.asarray(node.transform, np.float64)
+    loc = m[:3, 3]
+    rs = m[:3, :3]
+    scale = float(np.cbrt(max(np.linalg.det(rs), 1e-12)))
+    r = rs / scale
+    # rotation matrix -> quaternion
+    tr = np.trace(r)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        qw = 0.25 * s
+        qx = (r[2, 1] - r[1, 2]) / s
+        qy = (r[0, 2] - r[2, 0]) / s
+        qz = (r[1, 0] - r[0, 1]) / s
+    else:
+        i = int(np.argmax(np.diag(r)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(1.0 + r[i, i] - r[j, j] - r[k, k], 1e-12)) * 2
+        q = [0.0, 0.0, 0.0]
+        q[i] = 0.25 * s
+        q[j] = (r[j, i] + r[i, j]) / s
+        q[k] = (r[k, i] + r[i, k]) / s
+        qw = (r[k, j] - r[j, k]) / s
+        qx, qy, qz = q
+    out = []
+    out.append(f"vlocation {name} -rotation {_fmt(qx)} {_fmt(qy)} "
+               f"{_fmt(qz)} {_fmt(qw)}")
+    if abs(scale - 1.0) > 1e-6:
+        out.append(f"vlocation {name} -scale {_fmt(scale)}")
+    out.append(f"vlocation {name} -setLocation {_fmt3(loc)}")
+    return out
+
+
+def export_scene(session, directory: str,
+                 save_accumulator: bool = False) -> str:
+    """Write `<dir>/model.crt` + assets; returns the script path."""
+    os.makedirs(directory, exist_ok=True)
+    mesh_dir = os.path.join(directory, "meshes")
+    os.makedirs(mesh_dir, exist_ok=True)
+    sc = session.scene
+    lines: List[str] = ["# cadrays_tpu scene export", "vclear",
+                       "vlight clear"]
+
+    # lights (ImportExport.cxx:530-607)
+    for lt in sc.lights:
+        kind = "directional" if int(np.asarray(lt.kind)[0]) == 0 \
+            else "positional"
+        key = "dir" if kind == "directional" else "pos"
+        head = " head 1" if float(np.asarray(lt.headlight)[0]) > 0 else ""
+        lines.append(
+            f"vlight add {kind}{head} {key} {_fmt3(lt.vec)} "
+            f"sm {_fmt(np.asarray(lt.smooth)[0])} "
+            f"int {_fmt(np.asarray(lt.intensity)[0])} "
+            f"color {_fmt3(lt.color)}")
+
+    # nodes: leaves as PLY + vdisplay + vbsdf + transform; groups by rtgroup
+    group_cmds: List[str] = []
+
+    def walk(node: DataNode):
+        child_names = []
+        for c in node.children:
+            child_names.extend(walk(c))
+        if node.mesh is not None:
+            fname = f"meshes/{node.name}.ply"
+            save_ply(os.path.join(directory, fname), node.mesh)
+            lines.append(f"rtmeshread {fname} {node.name} -group")
+            if not node.visible:
+                lines.append(f"rterase {node.name}")
+            lines.extend(bsdf_commands(node.name, node.material))
+            tid = int(np.asarray(node.material.tex_id)[0])
+            if tid >= 0:
+                for key, t in sc._texture_ids.items():
+                    if t == tid:
+                        tex_dir = os.path.join(directory, "textures")
+                        os.makedirs(tex_dir, exist_ok=True)
+                        tname = f"textures/tex_{tid}.hdr"
+                        write_hdr(os.path.join(directory, tname),
+                                  sc._textures[tid])
+                        scale = float(np.asarray(node.material.uv_scale)[0])
+                        lines.append(f"rttexture {node.name} {tname} "
+                                     f"-scale {_fmt(scale)}")
+                        break
+            lines.extend(_transform_commands(node.name, node))
+            return [node.name]
+        if child_names and node.parent is not None:
+            group_cmds.append("rtgroup " + " ".join(child_names))
+            return []  # grouped
+        return child_names
+
+    for root in (sc.model.shapes_root, sc.model.meshes_root):
+        for top in root.children:
+            walk(top)
+    lines.extend(group_cmds)
+
+    # environment (ImportExport.cxx:501-511)
+    if sc.envmap is not None:
+        env_path = os.path.join(directory, "textures")
+        os.makedirs(env_path, exist_ok=True)
+        write_hdr(os.path.join(env_path, "environment.hdr"),
+                  np.asarray(sc.envmap.image))
+        lines.append("vtextureenv on textures/environment.hdr")
+        if not sc.envmap.background:
+            lines.append("vbackground -env 0")
+
+    # camera (ImportExport.cxx:436-499)
+    cam = session.camera
+    if cam.projection == ORTHOGRAPHIC:
+        lines.append("vcamera -orthographic")
+        lines.append(f"vviewparams -size {_fmt(2 * float(cam.ortho_scale))}")
+    else:
+        lines.append(f"vcamera -perspective -fovy {_fmt(cam.fovy_deg)}")
+        if float(cam.aperture) > 0:
+            lines.append(f"vcamera -aperture {_fmt(cam.aperture)} "
+                         f"-focus {_fmt(cam.focal_dist)}")
+    lines.append(f"vviewparams -eye {_fmt3(cam.eye)} -at {_fmt3(cam.at)} "
+                 f"-up {_fmt3(cam.up)}")
+
+    # render params
+    p = session.params
+    mode = {RenderMode.GI: "-gi", RenderMode.RT: "-ray",
+            RenderMode.RASTER: "-rast"}[p.mode]
+    lines.append(f"vrenderparams {mode} -rayDepth {p.ray_depth} "
+                 f"-clamping {_fmt(p.radiance_clamp)}")
+    if p.tonemap.method == TONE_FILMIC:
+        lines.append(f"vrenderparams -tonemapping filmic "
+                     f"-exposure {_fmt(p.tonemap.exposure)} "
+                     f"-whitepoint {_fmt(p.tonemap.white_point)}")
+    lines.append(f"vrtsize {session.width} {session.height}")
+
+    if save_accumulator and session.progressive is not None:
+        from cadrays_tpu.integrator.progressive import save_state
+
+        save_state(session.progressive,
+                   os.path.join(directory, "accumulator.npz"))
+
+    script = os.path.join(directory, "model.crt")
+    with open(script, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return script
+
+
+def import_scene(session, script_path: str):
+    """Re-run an exported scene script (the reference's `vclear; source`
+    re-import flow, ImportSettingsEditor.cxx:371-391)."""
+    from cadrays_tpu.cli.commands import Console
+
+    console = Console(session)
+    old_cwd = session.cwd
+    session.cwd = os.path.dirname(os.path.abspath(script_path))
+    try:
+        console.source(script_path)
+    finally:
+        session.cwd = old_cwd
+    acc = os.path.join(os.path.dirname(script_path), "accumulator.npz")
+    if os.path.exists(acc):
+        from cadrays_tpu.integrator.progressive import load_state
+
+        session.progressive = load_state(acc)
+    return session

@@ -1,0 +1,34 @@
+"""Test environment: force an 8-device virtual CPU mesh.
+
+Multi-chip code paths (shard_map over a Mesh) are exercised on virtual
+CPU devices; the driver separately dry-runs the multichip path. Must run
+before jax initializes.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cornell_scene():
+    """The minimum end-to-end fixture: Cornell box (SURVEY.md §7.2) —
+    diffuse walls, one positional sphere light, perspective camera.
+    Mirrors data/scripts/CornellBox.tcl:10-37 minus the glass objects."""
+    from cadrays_tpu.testing.scenes import cornell_box
+
+    return cornell_box()
+
+
+@pytest.fixture(scope="session")
+def cornell_camera():
+    from cadrays_tpu.testing.scenes import cornell_camera as cam
+
+    return cam()
