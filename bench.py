@@ -72,7 +72,7 @@ def main() -> None:
             img = render_sample(s, cam, params, W, H, sid, pixel_ids=pids)
             return l2_image_loss(img, jnp.zeros_like(img))
 
-        loss, grads = jax.value_and_grad(loss_fn)(scene_)
+        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(scene_)
         return loss, grads.materials.kd
 
     step = fwd if args.fwd_only else fwd_bwd

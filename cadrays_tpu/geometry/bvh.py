@@ -49,8 +49,61 @@ class ThreadedBVH:
 
 
 def build_bvh(vertices: np.ndarray, indices: np.ndarray,
-              max_leaf: int = MAX_LEAF) -> ThreadedBVH:
-    """Build a threaded BVH over the given triangles."""
+              max_leaf: int = MAX_LEAF, backend: str = "auto") -> ThreadedBVH:
+    """Build a threaded BVH. backend: auto | native | python.
+
+    `auto` uses the C++ builder (cadrays_tpu/native) when it compiles,
+    falling back to this module's pure-numpy builder.
+    """
+    if backend in ("auto", "native"):
+        out = _build_bvh_native(vertices, indices, max_leaf)
+        if out is not None:
+            return out
+        if backend == "native":
+            raise RuntimeError("native BVH builder unavailable "
+                               "(run python -m cadrays_tpu.native.build)")
+    return _build_bvh_python(vertices, indices, max_leaf)
+
+
+def _build_bvh_native(vertices, indices, max_leaf):
+    try:
+        from cadrays_tpu.native.build import load_library
+    except ImportError:
+        return None
+    lib = load_library()
+    if lib is None:
+        return None
+    import ctypes
+
+    v = np.ascontiguousarray(vertices, np.float32)
+    tri = np.ascontiguousarray(indices, np.int32)
+    T = tri.shape[0]
+    if T == 0:
+        return _build_bvh_python(vertices, indices, max_leaf)
+    cap = 2 * T  # preorder binary tree with T leaves has < 2T nodes
+    node_min = np.empty((cap, 3), np.float32)
+    node_max = np.empty((cap, 3), np.float32)
+    skip = np.empty(cap, np.int32)
+    first = np.empty(cap, np.int32)
+    count = np.empty(cap, np.int32)
+    order = np.empty(T, np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    n = lib.crt_build_bvh(
+        v.ctypes.data_as(fp), v.shape[0],
+        tri.ctypes.data_as(ip), T, max_leaf,
+        node_min.ctypes.data_as(fp), node_max.ctypes.data_as(fp),
+        skip.ctypes.data_as(ip), first.ctypes.data_as(ip),
+        count.ctypes.data_as(ip), order.ctypes.data_as(ip))
+    return ThreadedBVH(
+        node_min=node_min[:n].copy(), node_max=node_max[:n].copy(),
+        skip=skip[:n].copy(), first=first[:n].copy(),
+        count=count[:n].copy(), order=order)
+
+
+def _build_bvh_python(vertices: np.ndarray, indices: np.ndarray,
+                      max_leaf: int = MAX_LEAF) -> ThreadedBVH:
+    """Pure-numpy reference builder (same output layout as the native one)."""
     v = np.asarray(vertices, np.float32)
     tri = np.asarray(indices, np.int64)
     T = tri.shape[0]

@@ -7,7 +7,12 @@ state changes (AppViewer.cxx:979-984, 1045-1047; AppGui.cxx:122-136
 array in a pytree; "restart" is comparing a fingerprint of the
 scene/camera/params snapshot and zeroing the state. The state is also the
 resumable render checkpoint (SURVEY.md §5 checkpoint/resume) — serialize
-it with orbax/np.save and continue adding samples later.
+it with save_state/load_state and continue adding samples later.
+
+When params.adaptive is on (`vrenderparams -iss`), each step spends its
+W*H-sample budget through the variance-guided tile allocator
+(integrator/adaptive.py) instead of uniformly; the per-pixel weight
+buffer tracks the non-uniform sample counts.
 """
 from __future__ import annotations
 
@@ -20,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cadrays_tpu.core.camera import Camera
-from cadrays_tpu.integrator.params import RenderParams
+from cadrays_tpu.integrator.params import RenderMode, RenderParams
 from cadrays_tpu.integrator.renderer import render_image
 from cadrays_tpu.scene.flatten import SceneData
 
@@ -28,20 +33,23 @@ from cadrays_tpu.scene.flatten import SceneData
 @flax.struct.dataclass
 class ProgressiveState:
     accum: jnp.ndarray  # (H, W, 3) running radiance *sum*
-    spp: jnp.ndarray  # scalar int32 — accumulated sample count
+    weight: jnp.ndarray  # (H, W) per-pixel sample counts
+    accum_sq: jnp.ndarray  # (H, W) luminance^2 sum (adaptive variance)
+    spp: jnp.ndarray  # scalar int32 — accumulated passes (budget units)
     fingerprint: str = flax.struct.field(pytree_node=False, default="")
 
     @property
     def image(self) -> jnp.ndarray:
         """Current HDR estimate."""
-        return self.accum / jnp.maximum(self.spp.astype(jnp.float32), 1.0)
+        return self.accum / jnp.maximum(self.weight[..., None], 1.0)
 
 
 def state_fingerprint(scene: SceneData, camera: Camera,
                       params: RenderParams, width: int, height: int) -> str:
     """Cheap content hash of everything that invalidates accumulation."""
     h = hashlib.sha1()
-    h.update(f"{width}x{height}".encode())
+    h.update(f"{width}x{height}|{params.mode}|{params.ray_depth}|"
+             f"{params.adaptive}".encode())
     for leaf in jax.tree.leaves((camera, params)):
         h.update(np.asarray(leaf).tobytes())
     # Scene identity: hash shapes + a strided subsample of the big arrays
@@ -57,6 +65,8 @@ def state_fingerprint(scene: SceneData, camera: Camera,
 def init_state(width: int, height: int, fingerprint: str = "") -> ProgressiveState:
     return ProgressiveState(
         accum=jnp.zeros((height, width, 3), jnp.float32),
+        weight=jnp.zeros((height, width), jnp.float32),
+        accum_sq=jnp.zeros((height, width), jnp.float32),
         spp=jnp.int32(0),
         fingerprint=fingerprint,
     )
@@ -71,28 +81,58 @@ def progressive_step(
     state: Optional[ProgressiveState] = None,
     samples_per_step: int = 1,
 ) -> ProgressiveState:
-    """Add `samples_per_step` spp, restarting if the scene state changed."""
+    """Add `samples_per_step` budget passes, restarting on state change."""
     fp = state_fingerprint(scene, camera, params, width, height)
     if state is None or state.fingerprint != fp \
             or state.accum.shape[:2] != (height, width):
         state = init_state(width, height, fp)
+
+    if params.adaptive and params.mode == RenderMode.GI:
+        from cadrays_tpu.integrator.adaptive import (
+            AdaptiveState,
+            adaptive_round,
+        )
+
+        ast = AdaptiveState(
+            accum=state.accum.reshape(-1, 3),
+            accum_sq=state.accum_sq.reshape(-1),
+            count=state.weight.reshape(-1),
+            round=state.spp,
+        )
+        for _ in range(samples_per_step):
+            ast = adaptive_round(scene, camera, params, width, height,
+                                 params.tile_size, ast)
+        return ProgressiveState(
+            accum=ast.accum.reshape(height, width, 3),
+            weight=ast.count.reshape(height, width),
+            accum_sq=ast.accum_sq.reshape(height, width),
+            spp=ast.round,
+            fingerprint=fp,
+        )
+
     img = render_image(scene, camera, params, width, height,
                        samples_per_step, jnp.uint32(state.spp))
+    n = jnp.float32(samples_per_step)
     return ProgressiveState(
-        accum=state.accum + img * samples_per_step,
+        accum=state.accum + img * n,
+        weight=state.weight + n,
+        accum_sq=state.accum_sq,
         spp=state.spp + samples_per_step,
         fingerprint=fp,
     )
 
 
 def save_state(state: ProgressiveState, path: str) -> None:
-    np.savez(path, accum=np.asarray(state.accum), spp=np.asarray(state.spp),
-             fingerprint=state.fingerprint)
+    np.savez(path, accum=np.asarray(state.accum),
+             weight=np.asarray(state.weight),
+             accum_sq=np.asarray(state.accum_sq),
+             spp=np.asarray(state.spp), fingerprint=state.fingerprint)
 
 
 def load_state(path: str) -> ProgressiveState:
     z = np.load(path, allow_pickle=False)
     return ProgressiveState(
-        accum=jnp.asarray(z["accum"]), spp=jnp.int32(z["spp"]),
+        accum=jnp.asarray(z["accum"]), weight=jnp.asarray(z["weight"]),
+        accum_sq=jnp.asarray(z["accum_sq"]), spp=jnp.int32(z["spp"]),
         fingerprint=str(z["fingerprint"]),
     )

@@ -7,9 +7,12 @@ whole thing jits once per scene. Hit topology (triangle ids) is integer
 output — naturally non-differentiable; differentiable hit attributes are
 recomputed from the ids in ops/hit.py, which is where gradients flow.
 
-A Pallas kernel version with VMEM-resident BVH levels lives in
-ops/pallas/traverse_pl.py; this XLA version is the portable reference and
-the CPU/test path.
+HBM layout: the loop reads the *packed* tables (GeometryData.nodes_packed
+(N,8): box + skip + leaf bits in one row; tris_packed (T,12): p0/e1/e2 —
+see scene/flatten.py), so each iteration performs exactly one node-row
+gather plus up-to-MAX_LEAF triangle-row gathers — the minimum possible
+HBM traffic for an incoherent wavefront. A Pallas VMEM-resident variant
+lives in ops/pallas_traverse.py for scenes that fit on-chip.
 """
 from __future__ import annotations
 
@@ -18,15 +21,36 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from cadrays_tpu.ops.intersect import (
-    INF,
-    ray_aabb,
-    ray_triangle,
-    safe_inv_dir,
-)
+from cadrays_tpu.ops.intersect import INF, safe_inv_dir
 from cadrays_tpu.scene.flatten import GeometryData
 
 MAX_LEAF = 4  # must match geometry/bvh.py build
+
+_EPS = 1e-7
+_LEAF_MASK = (1 << 24) - 1
+
+
+def _tri_intersect_packed(origin, direction, trow):
+    """Moller-Trumbore against a packed triangle row [p0|e1|e2|...]."""
+    p0 = trow[..., 0:3]
+    e1 = trow[..., 3:6]
+    e2 = trow[..., 6:9]
+    pvec = jnp.cross(direction, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = origin - p0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(direction * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= -_EPS)
+        & (v >= -_EPS)
+        & (u + v <= 1.0 + _EPS)
+        & (t > _EPS)
+    )
+    return jnp.where(hit, t, INF), u, v, hit
 
 
 @partial(jax.jit, static_argnames=("any_hit",))
@@ -40,18 +64,16 @@ def trace(geom: GeometryData, origin, direction, t_max, any_hit: bool = False):
     """
     R = origin.shape[0]
     inv_dir = safe_inv_dir(direction)
+    nodes = geom.nodes_packed
+    tris = geom.tris_packed
 
-    node0 = jnp.zeros(R, jnp.int32)
     state = dict(
-        node=node0,
+        node=jnp.zeros(R, jnp.int32),
         t=jnp.minimum(jnp.broadcast_to(t_max, (R,)), INF),
         tri=jnp.full(R, -1, jnp.int32),
         u=jnp.zeros(R, jnp.float32),
         v=jnp.zeros(R, jnp.float32),
     )
-
-    tri_v = geom.tri_v
-    verts = geom.vertices
 
     def cond(s):
         return jnp.any(s["node"] >= 0)
@@ -60,14 +82,22 @@ def trace(geom: GeometryData, origin, direction, t_max, any_hit: bool = False):
         node = jnp.maximum(s["node"], 0)  # clamp finished lanes
         alive = s["node"] >= 0
 
-        bmin = geom.bvh_min[node]
-        bmax = geom.bvh_max[node]
-        skip = geom.bvh_skip[node]
-        first = geom.bvh_first[node]
-        count = geom.bvh_count[node]
+        row = nodes[node]  # (R, 8) — single gather
+        bmin = row[:, 0:3]
+        bmax = row[:, 3:6]
+        skip = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        leafbits = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+        is_leaf = leafbits >= 0
+        first = leafbits & _LEAF_MASK
+        count = jnp.where(is_leaf, leafbits >> 24, 0)
 
-        hit_box = ray_aabb(origin, inv_dir, bmin, bmax, 0.0, s["t"]) & alive
-        is_leaf = count > 0
+        # slab test against the current best t
+        t0 = (bmin - origin) * inv_dir
+        t1 = (bmax - origin) * inv_dir
+        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit_box = (jnp.maximum(t_near, 0.0) <= jnp.minimum(t_far, s["t"])) \
+            & alive
         at_leaf = hit_box & is_leaf
 
         # --- leaf: test up to MAX_LEAF triangles (masked unroll) ---------
@@ -76,12 +106,8 @@ def trace(geom: GeometryData, origin, direction, t_max, any_hit: bool = False):
             tid = first + k
             live = at_leaf & (k < count)
             tid_c = jnp.where(live, tid, 0)
-            i0 = tri_v[tid_c, 0]
-            i1 = tri_v[tid_c, 1]
-            i2 = tri_v[tid_c, 2]
-            t, u, v, hit = ray_triangle(
-                origin, direction, verts[i0], verts[i1], verts[i2]
-            )
+            t, u, v, hit = _tri_intersect_packed(origin, direction,
+                                                 tris[tid_c])
             better = live & hit & (t < t_best)
             t_best = jnp.where(better, t, t_best)
             tri_best = jnp.where(better, tid_c, tri_best)

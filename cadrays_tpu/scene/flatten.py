@@ -26,7 +26,16 @@ from cadrays_tpu.geometry.mesh import TriangleMesh
 
 @flax.struct.dataclass
 class GeometryData:
-    """World-space triangle soup + threaded BVH (SoA, HBM-resident)."""
+    """World-space triangle soup + threaded BVH (SoA, HBM-resident).
+
+    Besides the canonical SoA fields, two *packed* row-gather arrays are
+    kept for the traversal hot loop (one HBM gather per iteration per
+    table instead of five):
+      nodes_packed (N, 8) f32: [min xyz | max xyz | bitcast(skip) |
+                                bitcast(first | count<<24)]
+      tris_packed  (T, 12) f32: [p0 xyz | e1 xyz | e2 xyz |
+                                 bitcast(mat_id) | pad | pad]
+    """
 
     vertices: jnp.ndarray  # (V, 3) f32
     normals: jnp.ndarray  # (V, 3) f32 (shading normals)
@@ -38,10 +47,41 @@ class GeometryData:
     bvh_skip: jnp.ndarray  # (N,) i32
     bvh_first: jnp.ndarray  # (N,) i32
     bvh_count: jnp.ndarray  # (N,) i32
+    nodes_packed: jnp.ndarray  # (N, 8) f32
+    tris_packed: jnp.ndarray  # (T, 12) f32
 
     @property
     def num_triangles(self) -> int:
         return self.tri_v.shape[0]
+
+
+def pack_geometry(vertices: np.ndarray, tri_v: np.ndarray,
+                  tri_mat: np.ndarray, bvh) -> tuple:
+    """Build the packed traversal tables (see GeometryData docstring)."""
+    N = bvh.skip.shape[0]
+    T = tri_v.shape[0]
+    assert T < (1 << 24), "triangle count exceeds packed-first limit"
+    nodes = np.zeros((N, 8), np.float32)
+    nodes[:, 0:3] = bvh.node_min
+    nodes[:, 3:6] = bvh.node_max
+    nodes[:, 6] = bvh.skip.astype(np.int32).view(np.float32)
+    leafbits = np.where(
+        bvh.count > 0,
+        bvh.first.astype(np.int64) | (bvh.count.astype(np.int64) << 24),
+        -1,
+    ).astype(np.int32)
+    nodes[:, 7] = leafbits.view(np.float32)
+
+    tris = np.zeros((max(T, 1), 12), np.float32)
+    if T:
+        p0 = vertices[tri_v[:, 0]]
+        p1 = vertices[tri_v[:, 1]]
+        p2 = vertices[tri_v[:, 2]]
+        tris[:, 0:3] = p0
+        tris[:, 3:6] = p1 - p0
+        tris[:, 6:9] = p2 - p0
+        tris[:, 9] = tri_mat.astype(np.int32).view(np.float32)
+    return nodes, tris
 
 
 @flax.struct.dataclass
@@ -225,6 +265,7 @@ def flatten_parts(
     bvh = build_bvh(vertices, indices)
     tri_v = indices[bvh.order]
     tri_mat = tri_mat[bvh.order]
+    nodes_packed, tris_packed = pack_geometry(vertices, tri_v, tri_mat, bvh)
 
     geom = GeometryData(
         vertices=jnp.asarray(vertices),
@@ -237,6 +278,8 @@ def flatten_parts(
         bvh_skip=jnp.asarray(bvh.skip),
         bvh_first=jnp.asarray(bvh.first),
         bvh_count=jnp.asarray(bvh.count),
+        nodes_packed=jnp.asarray(nodes_packed),
+        tris_packed=jnp.asarray(tris_packed),
     )
 
     mat_table = concat_materials(list(materials))

@@ -12,22 +12,30 @@ from cadrays_tpu.scene.flatten import GeometryData
 
 
 def _geom_from_mesh(mesh: TriangleMesh) -> GeometryData:
+    from cadrays_tpu.scene.flatten import pack_geometry
+
     if mesh.normals is None:
         mesh.compute_vertex_normals()
     uv = mesh.uvs if mesh.uvs is not None else np.zeros(
         (mesh.num_vertices, 2), np.float32)
     bvh = build_bvh(mesh.vertices, mesh.indices)
+    tri_v = mesh.indices[bvh.order]
+    tri_mat = np.zeros(mesh.num_triangles, np.int32)
+    nodes_packed, tris_packed = pack_geometry(mesh.vertices, tri_v, tri_mat,
+                                              bvh)
     return GeometryData(
         vertices=jnp.asarray(mesh.vertices),
         normals=jnp.asarray(mesh.normals),
         uvs=jnp.asarray(uv),
-        tri_v=jnp.asarray(mesh.indices[bvh.order]),
-        tri_mat=jnp.zeros(mesh.num_triangles, jnp.int32),
+        tri_v=jnp.asarray(tri_v),
+        tri_mat=jnp.asarray(tri_mat),
         bvh_min=jnp.asarray(bvh.node_min),
         bvh_max=jnp.asarray(bvh.node_max),
         bvh_skip=jnp.asarray(bvh.skip),
         bvh_first=jnp.asarray(bvh.first),
         bvh_count=jnp.asarray(bvh.count),
+        nodes_packed=jnp.asarray(nodes_packed),
+        tris_packed=jnp.asarray(tris_packed),
     )
 
 
@@ -150,6 +158,22 @@ class TestBVH:
         np.testing.assert_array_equal(hit_bvh, hit_ref)
         np.testing.assert_allclose(np.asarray(res["t"])[hit_ref],
                                    t_ref[hit_ref], rtol=1e-4)
+
+    def test_native_builder_matches_python(self):
+        from cadrays_tpu.geometry.bvh import _build_bvh_python
+        from cadrays_tpu.native.build import native_available
+
+        if not native_available():
+            pytest.skip("native builder not built")
+        mesh = primitives.torus(1.0, 0.4, 32, 16)
+        bn = build_bvh(mesh.vertices, mesh.indices, backend="native")
+        bp = _build_bvh_python(mesh.vertices, mesh.indices)
+        qn, qp = bvh_quality(bn), bvh_quality(bp)
+        assert sorted(bn.order.tolist()) == list(range(mesh.num_triangles))
+        # same build algorithm -> same structure
+        assert qn == qp
+        np.testing.assert_array_equal(bn.skip, bp.skip)
+        np.testing.assert_allclose(bn.node_min, bp.node_min, atol=1e-6)
 
     def test_occlusion(self):
         mesh = primitives.box(1, 1, 1, origin_corner=False)
