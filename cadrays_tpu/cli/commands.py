@@ -927,6 +927,34 @@ class Console:
         self.session.staging[name] = (mesh, NodeType.CAD_SHAPE)
         return name
 
+    def cmd_vautofocus(self, args):
+        """vautofocus [x y] — focal distance from pick depth
+        (AppGui.cxx:78-94)."""
+        from cadrays_tpu.ops.picking import autofocus
+
+        s = self.session
+        data = s.scene.flatten(s.camera)
+        px = float(args[0]) if args else None
+        py = float(args[1]) if len(args) > 1 else None
+        s.camera = autofocus(data, s.camera, s.width, s.height, px, py)
+        s.scene.camera = s.camera
+        return f"focus {float(s.camera.focal_dist):.6g}"
+
+    def cmd_vpick(self, args):
+        """vpick x y — intersect the camera ray at a pixel; prints hit
+        info (the selection primitive)."""
+        from cadrays_tpu.ops.picking import pick
+
+        s = self.session
+        data = s.scene.flatten(s.camera)
+        info = pick(data, s.camera, float(args[0]), float(args[1]),
+                    s.width, s.height)
+        if not info["hit"]:
+            return "miss"
+        p = info["position"]
+        return (f"hit t={info['t']:.6g} at {p[0]:.4g} {p[1]:.4g} "
+                f"{p[2]:.4g} mat={info['mat_id']} tri={info['tri']}")
+
     def cmd_help(self, args):
         names = sorted(self._handlers)
         return "commands: " + " ".join(names) + \
@@ -957,9 +985,22 @@ def _load_mesh_file(path: str):
         return [LoadedPart(mesh=load_ply(path))]
     if low.endswith(".stl"):
         return [LoadedPart(mesh=load_stl(path))]
+    if low.endswith((".gltf", ".glb")):
+        from cadrays_tpu.geometry.loaders.gltf import load_gltf
+
+        return load_gltf(path)
+    from cadrays_tpu.geometry.cad import CAD_EXTENSIONS
+
+    if low.endswith(CAD_EXTENSIONS):
+        from cadrays_tpu.geometry.cad import load_cad
+
+        try:
+            return [LoadedPart(mesh=m) for m in load_cad(path)]
+        except RuntimeError as e:
+            raise CommandError(str(e)) from e
     raise CommandError(
-        f"unsupported mesh format: {path} (obj/ply/stl supported natively; "
-        "STEP/IGES need a tessellation backend, see geometry/cad.py)")
+        f"unsupported mesh format: {path} (obj/ply/stl/gltf/glb native; "
+        "STEP/IGES/BREP via a CAD tessellation backend, geometry/cad.py)")
 
 
 def _material_from_part(part) -> Material:

@@ -27,6 +27,7 @@ Model:
 from __future__ import annotations
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -323,6 +324,11 @@ def sample_bsdf(m: Material, wo, n, u):
         wi_diff,
         jnp.where(pick_t[..., None], wi_trans, wi_refl),
     )
+    # Detached sampling: the sampled direction is treated as a constant of
+    # the estimator — gradients flow through eval/weights only. This is
+    # the standard unbiased construction for material/light/camera
+    # parameter gradients and keeps warp-jacobian NaNs out of the VJP.
+    wi = jax.lax.stop_gradient(wi)
 
     cos_i_signed = vm.dot(wi, n)
     transmitted = pick_t & do_refract
@@ -335,25 +341,33 @@ def sample_bsdf(m: Material, wo, n, u):
         (pick_c & coat_delta) | (pick_s & spec_delta) | pick_t
     )
 
+    # Detached measure: every division by a sampling density treats that
+    # density as a constant (stop_gradient) — differentiating 1/pdf(theta)
+    # would bias parameter gradients (the pdf is part of the Monte Carlo
+    # measure, not of the integrand).
+    sg = jax.lax.stop_gradient
+
     # Smooth-lobe path: single eval of the full smooth BSDF + its pdf for
     # the chosen direction -> unbiased one-sample MIS over lobes.
     f_smooth, pdf_smooth = eval_bsdf(m, wo, wi, n)
+    pdf_det = sg(pdf_smooth)
     cos_i = jnp.clip(cos_i_signed, 0.0, 1.0)
-    w_smooth = f_smooth * (cos_i / jnp.maximum(pdf_smooth, 1e-8))[..., None]
-    w_smooth = jnp.where((pdf_smooth > 1e-10)[..., None], w_smooth, 0.0)
+    w_smooth = f_smooth * (cos_i / jnp.maximum(pdf_det, 1e-8))[..., None]
+    w_smooth = jnp.where((pdf_det > 1e-10)[..., None], w_smooth, 0.0)
 
     # Delta coat reflection: weight = Kc*Fc / p_lobe (cos/pdf cancel).
     fc_o = eval_fresnel(m.coat_ftype, m.coat_fparams, cos_o)
-    w_coat_delta = m.kc * fc_o / jnp.maximum(p_c, 1e-8)[..., None]
+    w_coat_delta = m.kc * fc_o / jnp.maximum(sg(p_c), 1e-8)[..., None]
 
     # Delta glossy reflection: Ks*Fb under the coat.
     fb_o = eval_fresnel(m.base_ftype, m.base_fparams, cos_o)
     through_o = _coat_through(m, cos_o)
-    w_spec_delta = through_o * m.ks * fb_o / jnp.maximum(p_s, 1e-8)[..., None]
+    w_spec_delta = through_o * m.ks * fb_o \
+        / jnp.maximum(sg(p_s), 1e-8)[..., None]
 
     # Transmission: Fresnel split already importance-sampled -> weight is
     # the tint alone (refraction) or white (reflection), under the coat.
-    p_t = jnp.maximum(1.0 - p_c - p_d - p_s, 1e-8)
+    p_t = jnp.maximum(sg(1.0 - p_c - p_d - p_s), 1e-8)
     w_refr = through_o * m.kt / p_t[..., None]
     w_mirror = through_o * jnp.ones_like(m.kt) / p_t[..., None]
     w_trans = jnp.where(do_refract[..., None], w_refr, w_mirror)

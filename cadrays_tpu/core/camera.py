@@ -100,7 +100,9 @@ class Camera:
             self.focal_dist > 0.0, self.focal_dist, vm.length(self.at - self.eye)
         )
         # Concentric-ish disk sample (polar is fine for a lens).
-        r = jnp.sqrt(u_lens0)[..., None] * self.aperture
+        # max() keeps sqrt's gradient finite at u=0 — otherwise the
+        # unselected-branch inf turns the whole camera VJP into NaN.
+        r = jnp.sqrt(jnp.maximum(u_lens0, 1e-12))[..., None] * self.aperture
         phi = (2.0 * jnp.pi) * u_lens1[..., None]
         lens_off = right * (r * jnp.cos(phi)) + up * (r * jnp.sin(phi))
         # Focal point along the *axial* distance (plane at depth `focal`).

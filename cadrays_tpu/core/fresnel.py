@@ -54,7 +54,7 @@ def dielectric_reflectance(ior: jnp.ndarray, cos_i: jnp.ndarray) -> jnp.ndarray:
     eta = 1.0 / ior
     sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-12))
     rs = (cos_i - ior * cos_t) / jnp.maximum(cos_i + ior * cos_t, 1e-8)
     rp = (ior * cos_i - cos_t) / jnp.maximum(ior * cos_i + cos_t, 1e-8)
     f = 0.5 * (rs * rs + rp * rp)
@@ -66,9 +66,9 @@ def conductor_reflectance(n: jnp.ndarray, k: jnp.ndarray, cos_i: jnp.ndarray) ->
     c2 = cos_i * cos_i
     s2 = 1.0 - c2
     t0 = n * n - k * k - s2
-    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * n * n * k * k, 0.0))
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * n * n * k * k, 1e-12))
     t1 = a2b2 + c2
-    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 1e-12))
     t2 = 2.0 * a * cos_i
     rs2 = (t1 - t2) / jnp.maximum(t1 + t2, 1e-8)
     t3 = c2 * a2b2 + s2 * s2

@@ -13,11 +13,11 @@ INV_PI = 1.0 / jnp.pi
 
 def cosine_hemisphere(u1, u2):
     """Cosine-weighted hemisphere sample (local frame). pdf = cos/pi."""
-    r = jnp.sqrt(u1)
+    r = jnp.sqrt(jnp.maximum(u1, 1e-12))
     phi = 2.0 * jnp.pi * u2
     x = r * jnp.cos(phi)
     y = r * jnp.sin(phi)
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))
+    z = jnp.sqrt(jnp.maximum(1.0 - u1, 1e-12))
     return jnp.stack([x, y, z], axis=-1)
 
 
@@ -27,7 +27,7 @@ def cosine_hemisphere_pdf(cos_t):
 
 def uniform_sphere(u1, u2):
     z = 1.0 - 2.0 * u1
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-12))
     phi = 2.0 * jnp.pi * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
@@ -35,7 +35,7 @@ def uniform_sphere(u1, u2):
 def uniform_cone(u1, u2, cos_max):
     """Uniform direction in a cone around +z. pdf = 1/(2pi(1-cos_max))."""
     cos_t = 1.0 - u1 * (1.0 - cos_max)
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
     phi = 2.0 * jnp.pi * u2
     return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1)
 
@@ -45,7 +45,7 @@ def uniform_cone_pdf(cos_max):
 
 
 def uniform_disk(u1, u2):
-    r = jnp.sqrt(u1)
+    r = jnp.sqrt(jnp.maximum(u1, 1e-12))
     phi = 2.0 * jnp.pi * u2
     return r * jnp.cos(phi), r * jnp.sin(phi)
 
@@ -82,7 +82,7 @@ def ggx_sample_h(u1, u2, alpha):
     a2 = alpha * alpha
     cos2 = (1.0 - u1) / jnp.maximum(1.0 + (a2 - 1.0) * u1, 1e-12)
     cos_h = jnp.sqrt(jnp.clip(cos2, 0.0, 1.0))
-    sin_h = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos2))
+    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos2, 1e-12))
     phi = 2.0 * jnp.pi * u2
     return jnp.stack([sin_h * jnp.cos(phi), sin_h * jnp.sin(phi), cos_h], axis=-1)
 

@@ -43,7 +43,7 @@ def refract(d: jnp.ndarray, n: jnp.ndarray, eta: jnp.ndarray):
         eta = eta[..., None]
     sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-12))
     refr = eta * d + (eta * cos_i - cos_t) * n
     return refr, tir[..., 0]
 

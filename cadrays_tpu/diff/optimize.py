@@ -69,23 +69,24 @@ def fit(
     spp: int = 4,
     steps: int = 100,
     learning_rate: float = 0.05,
-    select: Optional[Callable[[SceneData], list]] = None,
+    select_paths: Optional[set] = None,
     optimizer: Optional[optax.GradientTransformation] = None,
     sample_seed_per_step: bool = True,
 ) -> FitResult:
     """Gradient-descend selected scene parameters toward a target image.
 
-    select(scene) returns the list of leaf *paths* to optimize, as
-    `lambda s: [s.materials.kd, s.lights.intensity]`-style getters are
-    impossible on pytrees — instead pass a predicate mapping each leaf
-    path string to bool via `select_paths`. Default: optimize material
-    lobes (kd/ks/kt/kc/le) and light color/intensity.
+    select_paths: dotted leaf paths into SceneData to optimize (e.g.
+    {"materials.kd", "lights.intensity"}). Default: material lobes
+    (kd/ks/kt/kc/le) and light color/intensity/env intensity — narrow it
+    when you know which parameters are unknown; fewer free parameters
+    means far less gradient-noise drift at low spp.
     """
     opt = optimizer or optax.adam(learning_rate)
 
-    default_paths = {"materials.kd", "materials.ks", "materials.kt",
-                     "materials.kc", "materials.le", "lights.intensity",
-                     "lights.color", "envmap.intensity"}
+    default_paths = select_paths if select_paths is not None else {
+        "materials.kd", "materials.ks", "materials.kt",
+        "materials.kc", "materials.le", "lights.intensity",
+        "lights.color", "envmap.intensity"}
 
     def leaf_path(path) -> str:
         return ".".join(str(getattr(p, "name", getattr(p, "key", p)))
@@ -96,18 +97,36 @@ def fit(
             lambda p, _: leaf_path(p) in default_paths, tree)
 
     mask = mask_fn(scene)
-    opt = optax.masked(opt, mask)
+    not_mask = jax.tree.map(lambda b: not b, mask)
+    # optax.masked passes *unmasked* updates through untouched (i.e. raw
+    # gradients would be added to frozen leaves!) — explicitly zero them.
+    opt = optax.chain(
+        optax.masked(opt, mask),
+        optax.masked(optax.set_to_zero(), not_mask),
+    )
     opt_state = opt.init(scene)
 
     @partial(jax.jit, static_argnames=())
     def step(scene_, opt_state_, seed):
-        p = params.replace(seed=seed)
+        # Two-independent-sample gradient: grad ||E[I] - T||^2 estimated as
+        # 2 <I(seed_a) - T, dI(seed_b)/dtheta> with independent seeds.
+        # A single-sample value_and_grad would instead minimize
+        # E[||I_noisy - T||^2], whose optimum is biased darker by the
+        # gradient of the rendering variance (observed as albedo
+        # undershoot at low spp).
+        p_a = params.replace(seed=seed * jnp.uint32(2) + jnp.uint32(1))
+        p_b = params.replace(seed=seed * jnp.uint32(2) + jnp.uint32(2))
 
-        def loss_fn(s):
-            img = render_image(s, camera, p, width, height, spp)
-            return l2_image_loss(img, target)
+        img_a = render_image(scene_, camera, p_a, width, height, spp)
+        residual = img_a - target
+        loss = jnp.mean(residual ** 2)
 
-        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(scene_)
+        def render_b(s):
+            return render_image(s, camera, p_b, width, height, spp)
+
+        img_b, vjp_fn = jax.vjp(render_b, scene_)
+        cot = 2.0 * residual / residual.size
+        (grads,) = vjp_fn(cot)
         # zero-out float0 grads on int leaves so optax sees floats only
         grads = jax.tree.map(
             lambda x, g: jnp.zeros_like(x)

@@ -37,6 +37,9 @@ class RenderParams:
     # RT-mode toggles (SettingsWidget.cxx:575-607)
     rt_shadows: bool = flax.struct.field(pytree_node=False, default=True)
     rt_reflections: bool = flax.struct.field(pytree_node=False, default=True)
+    # sort bounce rays by (octant, origin cell) before traversal — packet
+    # coherence for the TPU kernels; pure reordering, estimator unchanged
+    sort_rays: bool = flax.struct.field(pytree_node=False, default=True)
 
     # --- traced ----------------------------------------------------------
     radiance_clamp: jnp.ndarray = flax.struct.field(

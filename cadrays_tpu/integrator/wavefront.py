@@ -34,7 +34,7 @@ from cadrays_tpu.ops import envmap as envops
 from cadrays_tpu.ops.hit import hit_attributes
 from cadrays_tpu.ops.intersect import INF, offset_ray_origin
 from cadrays_tpu.ops.texture import sample_texture
-from cadrays_tpu.ops.traverse import trace
+from cadrays_tpu.ops.traverse import trace, trace_sorted
 from cadrays_tpu.scene.flatten import SceneData
 
 # RNG dimension allocation per bounce (keep decorrelated streams).
@@ -93,7 +93,8 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
 
     def bounce_step(state, bounce):
         o, d = state["origin"], state["direction"]
-        res = trace(scene.geometry, o, d, jnp.full((R,), INF))
+        trace_fn = trace_sorted if params.sort_rays else trace
+        res = trace_fn(scene.geometry, o, d, jnp.full((R,), INF))
         h = hit_attributes(scene.geometry, o, d, res["tri"])
         hit = h["hit"] & state["alive"]
         miss = (~h["hit"]) & state["alive"]
@@ -114,8 +115,9 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
             w_mis = jnp.where(
                 state["prev_delta"],
                 1.0,
-                smp.power_heuristic(state["prev_pdf"],
-                                    envops.pdf_env(scene.envmap, d)),
+                smp.power_heuristic(
+                    state["prev_pdf"],
+                    jax.lax.stop_gradient(envops.pdf_env(scene.envmap, d))),
             )
             scale = jnp.where(bounce == 0, primary_scale, w_mis)
             radiance = radiance + jnp.where(
@@ -147,7 +149,8 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
             w_emit = jnp.where(
                 state["prev_delta"] | (bounce == 0),
                 1.0,
-                smp.power_heuristic(state["prev_pdf"], pdf_light_sa),
+                smp.power_heuristic(state["prev_pdf"],
+                                    jax.lax.stop_gradient(pdf_light_sa)),
             )
         else:
             w_emit = jnp.ones((R,), jnp.float32)
@@ -192,9 +195,11 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
                 jnp.where(vis_need, em["dist"] * (1.0 - 1e-3), 0.0),
                 any_hit=True,
             )["tri"] >= 0
-            w_mis = smp.power_heuristic(em["pdf_sa"], pdf_b)
+            pdf_sa_det = jax.lax.stop_gradient(em["pdf_sa"])
+            w_mis = smp.power_heuristic(pdf_sa_det,
+                                        jax.lax.stop_gradient(pdf_b))
             contrib = em["le"] * f * (
-                cos_i * w_mis / jnp.maximum(em["pdf_sa"], 1e-12)
+                cos_i * w_mis / jnp.maximum(pdf_sa_det, 1e-12)
             )[..., None]
             nee = nee + jnp.where((vis_need & ~occ)[..., None], contrib, 0.0)
 
@@ -211,9 +216,11 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
                 jnp.where(vis_need, INF, 0.0),
                 any_hit=True,
             )["tri"] >= 0
-            w_mis = smp.power_heuristic(pdf_e, pdf_b)
+            pdf_e_det = jax.lax.stop_gradient(pdf_e)
+            w_mis = smp.power_heuristic(pdf_e_det,
+                                        jax.lax.stop_gradient(pdf_b))
             contrib = rad_e * f * (
-                cos_i * w_mis / jnp.maximum(pdf_e, 1e-12)
+                cos_i * w_mis / jnp.maximum(pdf_e_det, 1e-12)
             )[..., None]
             nee = nee + jnp.where((vis_need & ~occ)[..., None], contrib, 0.0)
 
@@ -288,6 +295,12 @@ def _sample_emissive(scene: SceneData, p, u):
     g = scene.geometry
     i0, i1, i2 = g.tri_v[tid, 0], g.tri_v[tid, 1], g.tri_v[tid, 2]
     p0, p1, p2 = g.vertices[i0], g.vertices[i1], g.vertices[i2]
+    if g.instanced:
+        tf = g.inst_tf[g.tri_inst[tid]]  # (R, 3, 4) object->world
+        lin = tf[..., :3]
+        p0 = jnp.einsum("rij,rj->ri", lin, p0) + tf[..., 3]
+        p1 = jnp.einsum("rij,rj->ri", lin, p1) + tf[..., 3]
+        p2 = jnp.einsum("rij,rj->ri", lin, p2) + tf[..., 3]
     # uniform point on triangle
     su = jnp.sqrt(jnp.clip(u[1], 1e-12, 1.0))
     b0 = 1.0 - su

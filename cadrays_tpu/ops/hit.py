@@ -7,6 +7,12 @@ with plain differentiable jnp math. This is the detached-topology
 construction that makes the whole renderer differentiable: gradients flow
 through geometry/material/camera parameters while the discrete hit
 decision stays fixed (SURVEY.md §7.3 hard part #2).
+
+For two-level instanced scenes the triangle data is object-space: the ray
+is transformed into the instance frame (differentiably — gradients reach
+instance transforms too), the hit parameter t is shared between frames
+(directions stay unnormalized in object space), and normals come back to
+world via the inverse-transpose.
 """
 from __future__ import annotations
 
@@ -30,16 +36,26 @@ def hit_attributes(geom: GeometryData, origin, direction, tri):
     i2 = geom.tri_v[tid, 2]
     p0, p1, p2 = geom.vertices[i0], geom.vertices[i1], geom.vertices[i2]
 
-    # Differentiable Moller-Trumbore on the selected triangle.
+    if geom.instanced:
+        inv = geom.inst_inv[geom.tri_inst[tid]]  # (R, 3, 4)
+        lin = inv[..., :3]
+        o_l = jnp.einsum("rij,rj->ri", lin, origin) + inv[..., 3]
+        d_l = jnp.einsum("rij,rj->ri", lin, direction)
+    else:
+        o_l, d_l = origin, direction
+
+    # Differentiable Moller-Trumbore on the selected triangle
+    # (object space; t is world-parameterized because d_l is the linear
+    # image of the world direction, not renormalized).
     e1 = p1 - p0
     e2 = p2 - p0
-    pvec = jnp.cross(direction, e2)
+    pvec = jnp.cross(d_l, e2)
     det = vm.dot(e1, pvec)
     inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
-    tvec = origin - p0
+    tvec = o_l - p0
     u = vm.dot(tvec, pvec) * inv_det
     qvec = jnp.cross(tvec, e1)
-    v = vm.dot(direction, qvec) * inv_det
+    v = vm.dot(d_l, qvec) * inv_det
     t = vm.dot(e2, qvec) * inv_det
     u = jnp.clip(u, 0.0, 1.0)
     v = jnp.clip(v, 0.0, 1.0)
@@ -47,11 +63,18 @@ def hit_attributes(geom: GeometryData, origin, direction, tri):
 
     position = origin + direction * t[..., None]
 
-    n_geom = vm.normalize(jnp.cross(e1, e2))
+    n_geom_l = jnp.cross(e1, e2)
     n0, n1, n2 = geom.normals[i0], geom.normals[i1], geom.normals[i2]
-    n_shade = vm.normalize(
-        w[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2
-    )
+    n_shade_l = w[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2
+
+    if geom.instanced:
+        # normals: n_world = n_obj @ M^-1 (row-vector inverse-transpose)
+        n_geom = vm.normalize(jnp.einsum("rj,rji->ri", n_geom_l, lin))
+        n_shade = vm.normalize(jnp.einsum("rj,rji->ri", n_shade_l, lin))
+    else:
+        n_geom = vm.normalize(n_geom_l)
+        n_shade = vm.normalize(n_shade_l)
+
     # Keep the shading normal on the same side as the geometric normal.
     n_shade = jnp.where(
         vm.dot(n_shade, n_geom, keepdims=True) < 0.0, -n_shade, n_shade

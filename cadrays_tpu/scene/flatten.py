@@ -32,9 +32,20 @@ class GeometryData:
     kept for the traversal hot loop (one HBM gather per iteration per
     table instead of five):
       nodes_packed (N, 8) f32: [min xyz | max xyz | bitcast(skip) |
-                                bitcast(first | count<<24)]
+                                bitcast(leafbits)]
+        leafbits >= 0: leaf, first | count<<24
+        leafbits <  0: inner, descend target = -leafbits - 2
+                       (plain DFS inner nodes: descend == node + 1;
+                        two-level TLAS->BLAS bridge nodes jump to the
+                        instance's BLAS root)
       tris_packed  (T, 12) f32: [p0 xyz | e1 xyz | e2 xyz |
                                  bitcast(mat_id) | pad | pad]
+
+    Two-level instancing (scene/instances.py): triangles/vertices/normals
+    are in *object* space, `tri_inst`/`node_inst` map geometry to
+    instances, and `inst_inv` holds world->object affine transforms.
+    `instanced=False` (baked world-space scene) statically skips every
+    per-instance transform in the hot loops.
     """
 
     vertices: jnp.ndarray  # (V, 3) f32
@@ -49,6 +60,18 @@ class GeometryData:
     bvh_count: jnp.ndarray  # (N,) i32
     nodes_packed: jnp.ndarray  # (N, 8) f32
     tris_packed: jnp.ndarray  # (T, 12) f32
+    # --- two-level instancing (identity defaults for baked scenes) ------
+    node_inst: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.full((1,), -1, jnp.int32))  # (N,) i32
+    tri_inst: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((1,), jnp.int32))  # (T,) i32
+    inst_inv: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.eye(3, 4, dtype=jnp.float32)[None])
+    # (I, 3, 4) world->object
+    inst_tf: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.eye(3, 4, dtype=jnp.float32)[None])
+    # (I, 3, 4) object->world
+    instanced: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def num_triangles(self) -> int:
@@ -65,10 +88,11 @@ def pack_geometry(vertices: np.ndarray, tri_v: np.ndarray,
     nodes[:, 0:3] = bvh.node_min
     nodes[:, 3:6] = bvh.node_max
     nodes[:, 6] = bvh.skip.astype(np.int32).view(np.float32)
+    descend = np.arange(N, dtype=np.int64) + 1  # DFS: left child follows
     leafbits = np.where(
         bvh.count > 0,
         bvh.first.astype(np.int64) | (bvh.count.astype(np.int64) << 24),
-        -1,
+        -descend - 2,
     ).astype(np.int32)
     nodes[:, 7] = leafbits.view(np.float32)
 

@@ -165,23 +165,40 @@ class Scene:
         self.touch()
 
     # -- flattening --------------------------------------------------------
-    def flatten(self, camera: Optional[Camera] = None) -> SceneData:
-        """Produce (and cache) the device snapshot of the visible scene."""
+    def flatten(self, camera: Optional[Camera] = None,
+                instancing: bool = False) -> SceneData:
+        """Produce (and cache) the device snapshot of the visible scene.
+
+        instancing=False bakes transforms into world-space vertices and
+        builds one BVH (best traversal quality; full rebuild on edits).
+        instancing=True builds a TLAS over cached per-mesh BLASes
+        (scene/instances.py) — transform edits only rebuild the TLAS.
+        """
         if self._cache is not None and not self._dirty:
             return self._update_headlights(self._cache, camera)
         leaves = self.model.leaves(visible_only=True)
         if not leaves:
             raise ValueError("scene has no visible geometry")
-        meshes, mats, mat_ids = [], [], []
-        for i, node in enumerate(leaves):
-            meshes.append(node.mesh.transformed(node.world_transform()))
-            mats.append(node.material)
-            mat_ids.append(i)
         lights = (concat_lights(self._lights) if self._lights
                   else empty_lights())
         atlas = build_texture_atlas(self._textures) if self._textures else None
-        data = flatten_parts(meshes, mats, mat_ids, lights=lights,
-                             envmap=self._envmap, textures=atlas)
+        if instancing:
+            from cadrays_tpu.scene.instances import build_instanced
+
+            data = build_instanced(
+                [n.mesh for n in leaves],
+                [n.world_transform() for n in leaves],
+                [n.material for n in leaves],
+                list(range(len(leaves))),
+                lights=lights, envmap=self._envmap, textures=atlas)
+        else:
+            meshes, mats, mat_ids = [], [], []
+            for i, node in enumerate(leaves):
+                meshes.append(node.mesh.transformed(node.world_transform()))
+                mats.append(node.material)
+                mat_ids.append(i)
+            data = flatten_parts(meshes, mats, mat_ids, lights=lights,
+                                 envmap=self._envmap, textures=atlas)
         self._cache = data
         self._dirty = False
         return self._update_headlights(data, camera)

@@ -35,11 +35,15 @@ def write_png(path: str, image: np.ndarray) -> None:
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    with open(path, "wb") as f:
+    f = open(path, "wb") if isinstance(path, str) else path
+    try:
         f.write(b"\x89PNG\r\n\x1a\n")
         f.write(chunk(b"IHDR", ihdr))
         f.write(chunk(b"IDAT", comp))
         f.write(chunk(b"IEND", b""))
+    finally:
+        if isinstance(path, str):
+            f.close()
 
 
 def read_png(path: str) -> np.ndarray:
@@ -123,11 +127,13 @@ def write_hdr(path: str, image: np.ndarray) -> None:
     img = np.asarray(image, np.float32)
     h, w = img.shape[:2]
     maxc = img.max(axis=2)
-    exp = np.where(maxc > 1e-32, np.ceil(np.log2(np.maximum(maxc, 1e-32))) + 1,
-                   0.0)
+    # exponent so that maxc * scale lands in [128, 256)
+    exp = np.where(maxc > 1e-32,
+                   np.floor(np.log2(np.maximum(maxc, 1e-32))) + 1, 0.0)
     scale = np.where(maxc > 1e-32, 2.0 ** (-exp) * 256.0, 0.0)
     rgbe = np.zeros((h, w, 4), np.uint8)
-    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None] + 0.5, 0, 255).astype(
+        np.uint8)
     rgbe[..., 3] = np.where(maxc > 1e-32, exp + 128, 0).astype(np.uint8)
     with open(path, "wb") as f:
         f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")

@@ -6,12 +6,21 @@ before jax initializes.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the environment exports JAX_PLATFORMS (e.g. a
+# tunneled TPU backend): tests must never contend for the real chip.
+# NOTE: this image's sitecustomize.py imports jax at interpreter startup,
+# so the env var alone is too late — pin the config explicitly too
+# (backends are not initialized yet at conftest time).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -290,7 +290,11 @@ class TestImageIO:
         p = str(tmp_path / "t.hdr")
         write_hdr(p, img)
         back = read_hdr(p)
-        np.testing.assert_allclose(back, img, rtol=0.01, atol=1e-3)
+        # RGBE shares one exponent across channels: the mantissa is 8 bits
+        # and the writer truncates, so the error bound per pixel is
+        # ~max_channel / 128
+        bound = img.max(axis=-1, keepdims=True) / 128.0 + 1e-4
+        assert np.all(np.abs(back - img) <= bound)
 
     def test_pfm_roundtrip(self, tmp_path):
         from cadrays_tpu.utils.image import read_pfm, write_pfm

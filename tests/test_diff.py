@@ -119,23 +119,44 @@ class TestGradients:
         g_ad, g_fd = _check_grad(f, 0.5, 5e-2)
         assert g_ad > 0
 
+    def _edge_free_scene(self):
+        """Camera-gradient fixture without silhouette edges in view: a
+        huge floor fills the frame under a point-ish light, so the image
+        is a smooth function of camera pose/fov. (Finite differences
+        across visibility edges measure the boundary term that detached
+        sampling deliberately omits — that is a different estimator, not
+        an error; see Li et al. edge sampling.)"""
+        scene = Scene()
+        scene.clear_lights()
+        scene.add_light(positional_light(position=(0.5, -0.3, 3.0),
+                                         intensity=6.0, smooth_radius=0.4))
+        scene.add_mesh("floor", primitives.quad(200, 200),
+                       material(kd=(0.7, 0.6, 0.5)))
+        cam = Camera.look_at(eye=(0, -2, 2.5), at=(0, 0, 0), up=(0, 0, 1),
+                             fovy_deg=45.0)
+        return scene.flatten(cam), cam
+
     def test_grad_camera_fov(self):
-        data, cam = self.data, self.cam
+        data, cam = self._edge_free_scene()
+        loss_from = _loss_builder(data, cam, self.params)
 
         def setter(t):
             return data, cam.replace(fovy_deg=t)
 
-        f = self.loss_from(setter)
-        _check_grad(f, 35.0, 1e-2, rtol=0.15)
+        f = loss_from(setter)
+        g_ad, _ = _check_grad(f, 45.0, 1e-2, rtol=0.1)
+        assert abs(g_ad) > 1e-5
 
     def test_grad_camera_eye(self):
-        data, cam = self.data, self.cam
+        data, cam = self._edge_free_scene()
+        loss_from = _loss_builder(data, cam, self.params)
 
         def setter(t):
             return data, cam.replace(eye=cam.eye.at[2].set(t))
 
-        f = self.loss_from(setter)
-        _check_grad(f, 2.0, 2e-3, rtol=0.2, atol=5e-3)
+        f = loss_from(setter)
+        g_ad, _ = _check_grad(f, 2.5, 2e-3, rtol=0.1)
+        assert abs(g_ad) > 1e-5
 
     def test_grad_env_intensity(self):
         scene = Scene()
@@ -166,17 +187,19 @@ class TestInverseRendering:
         params = RenderParams(ray_depth=2)
         target = render_image(data, cam, params, RES, RES, 8)
 
-        # corrupt the floor albedo
+        # corrupt the floor albedo; optimize the known-unknown (kd only)
         m = data.materials
         wrong = data.replace(materials=m.replace(
             kd=m.kd.at[0].set(jnp.asarray([0.15, 0.15, 0.15]))))
         l0 = float(l2_image_loss(
             render_image(wrong, cam, params, RES, RES, 8), target))
 
-        res = fit(wrong, cam, params, target, RES, RES, spp=4, steps=60,
-                  learning_rate=0.05)
-        l1 = float(res.losses[-1])
-        assert l1 < l0 * 0.15, (l0, l1)
+        res = fit(wrong, cam, params, target, RES, RES, spp=4, steps=80,
+                  learning_rate=0.05, select_paths={"materials.kd"})
         got = np.asarray(res.scene.materials.kd[0])
         want = np.asarray(data.materials.kd[0])
-        np.testing.assert_allclose(got, want, atol=0.08)
+        np.testing.assert_allclose(got, want, atol=0.1)
+        # consistent-seed evaluation must improve substantially
+        l1 = float(l2_image_loss(
+            render_image(res.scene, cam, params, RES, RES, 8), target))
+        assert l1 < l0 * 0.3, (l0, l1)

@@ -175,6 +175,35 @@ class TestBVH:
         np.testing.assert_array_equal(bn.skip, bp.skip)
         np.testing.assert_allclose(bn.node_min, bp.node_min, atol=1e-6)
 
+    @pytest.mark.parametrize("any_hit", [False, True])
+    def test_stream_matches_gather(self, any_hit):
+        """The packet/stream TPU path and the per-ray gather path must
+        produce identical hits (same DFS visit order, same tie-breaks)."""
+        from cadrays_tpu.ops.traverse import trace_gather, trace_stream
+
+        mesh = TriangleMesh.merge([
+            primitives.sphere(1.0, 24, 12),
+            primitives.box(3, 3, 0.2, origin_corner=False)
+            .transformed(np.diag([1, 1, 1, 1]).astype(np.float32)),
+        ])
+        geom = _geom_from_mesh(mesh)
+        rs = np.random.RandomState(5)
+        R = 700  # not a multiple of the stream block — exercises padding
+        origins = np.float32([0, 0, 5]) + 0.5 * rs.randn(R, 3).astype(np.float32)
+        dirs = np.float32([0, 0, -1]) + 0.7 * rs.randn(R, 3).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        tmax = jnp.full(R, INF)
+        a = trace_gather(geom, jnp.asarray(origins), jnp.asarray(dirs), tmax,
+                         any_hit=any_hit)
+        b = trace_stream(geom, jnp.asarray(origins), jnp.asarray(dirs), tmax,
+                         any_hit=any_hit)
+        if any_hit:
+            np.testing.assert_array_equal(np.asarray(a["tri"]) >= 0,
+                                          np.asarray(b["tri"]) >= 0)
+        else:
+            np.testing.assert_array_equal(a["tri"], b["tri"])
+            np.testing.assert_allclose(a["t"], b["t"], rtol=1e-6)
+
     def test_occlusion(self):
         mesh = primitives.box(1, 1, 1, origin_corner=False)
         geom = _geom_from_mesh(mesh)
