@@ -34,7 +34,7 @@ from cadrays_tpu.ops import envmap as envops
 from cadrays_tpu.ops.hit import hit_attributes
 from cadrays_tpu.ops.intersect import INF, offset_ray_origin
 from cadrays_tpu.ops.texture import sample_texture
-from cadrays_tpu.ops.traverse import trace, trace_sorted
+from cadrays_tpu.ops.traverse import _coherence_key, trace
 from cadrays_tpu.scene.flatten import SceneData
 
 # RNG dimension allocation per bounce (keep decorrelated streams).
@@ -85,16 +85,24 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
         prev_pdf=jnp.zeros((R,), jnp.float32),
         prev_delta=jnp.ones((R,), bool),  # primary rays: no MIS on first hit
         sigma=jnp.zeros((R, 3), jnp.float32),  # current medium extinction
+        # lane bookkeeping for the per-bounce wavefront permutation:
+        # `pix` = pixel id driving this lane's RNG stream, `lane` = output
+        # row the lane's radiance belongs to.
+        pix=pixel_ids,
+        lane=jnp.arange(R, dtype=jnp.int32),
     )
 
-    def rng4(bounce, slot):
-        pid = pixel_ids if not params.coherent else jnp.zeros_like(pixel_ids)
+    def rng4(pix, bounce, slot):
+        pid = pix if not params.coherent else jnp.zeros_like(pix)
         return crng.sample4(pid, sample_id, _rng_dim(bounce, slot), seed)
 
     def bounce_step(state, bounce):
         o, d = state["origin"], state["direction"]
-        trace_fn = trace_sorted if params.sort_rays else trace
-        res = trace_fn(scene.geometry, o, d, jnp.full((R,), INF))
+        # Dead lanes trace with t_max=0: the packet kernel treats them as
+        # closed, so blocks of dead lanes (sorted to the tail below) exit
+        # after one root visit — free compaction under static shapes.
+        res = trace(scene.geometry, o, d,
+                    jnp.where(state["alive"], INF, 0.0))
         h = hit_attributes(scene.geometry, o, d, res["tri"])
         hit = h["hit"] & state["alive"]
         miss = (~h["hit"]) & state["alive"]
@@ -163,7 +171,7 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
         # ---- next-event estimation -------------------------------------
         nee = jnp.zeros((R, 3), jnp.float32)
         if has_lights:
-            u = rng4(bounce, _DIM_NEE)
+            u = rng4(state["pix"], bounce, _DIM_NEE)
             lsel = jnp.minimum(
                 (u[0] * scene.lights.count).astype(jnp.int32),
                 scene.lights.count - 1,
@@ -183,7 +191,7 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
             nee = nee + jnp.where((vis_need & ~occ)[..., None], contrib, 0.0)
 
         if has_emissive:
-            u = rng4(bounce, _DIM_NEE + 1)
+            u = rng4(state["pix"], bounce, _DIM_NEE + 1)
             em = _sample_emissive(scene, h["position"], u)
             f, pdf_b = eval_bsdf(mat, wo, em["wi"], n)
             cos_i = jnp.clip(vm.dot(em["wi"], n), 0.0, 1.0)
@@ -204,7 +212,7 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
             nee = nee + jnp.where((vis_need & ~occ)[..., None], contrib, 0.0)
 
         if has_env:
-            u = rng4(bounce, _DIM_NEE + 2)
+            u = rng4(state["pix"], bounce, _DIM_NEE + 2)
             wi_e, rad_e, pdf_e = envops.sample_env(scene.envmap, u[0], u[1])
             f, pdf_b = eval_bsdf(mat, wo, wi_e, n)
             cos_i = jnp.clip(vm.dot(wi_e, n), 0.0, 1.0)
@@ -227,7 +235,7 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
         radiance = radiance + throughput * nee
 
         # ---- BSDF sampling ---------------------------------------------
-        u = jnp.stack(rng4(bounce, _DIM_BSDF), axis=-1)
+        u = jnp.stack(rng4(state["pix"], bounce, _DIM_BSDF), axis=-1)
         bs = sample_bsdf(mat, wo, n, u)
         new_dir = bs["wi"]
         new_origin = offset_ray_origin(h["position"], h["n_geom"], new_dir)
@@ -244,7 +252,7 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
         alive = hit & bs["valid"] & (vm.luminance(throughput_next) > 0.0)
 
         # Russian roulette (unbiased, detached survival probability).
-        ur = rng4(bounce, _DIM_RR)[0]
+        ur = rng4(state["pix"], bounce, _DIM_RR)[0]
         p_sur = jnp.clip(jnp.max(jax.lax.stop_gradient(throughput_next),
                                  axis=-1), 0.05, 0.95)
         do_rr = bounce >= params.rr_start
@@ -264,7 +272,21 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
             prev_pdf=bs["pdf"],
             prev_delta=bs["is_delta"],
             sigma=sigma,
+            pix=state["pix"],
+            lane=state["lane"],
         )
+        if params.sort_rays:
+            # One wavefront-wide permutation per bounce: live lanes sorted
+            # by (direction octant, origin Morton cell) so the next
+            # bounce's closest-hit AND shadow packets are coherent; dead
+            # lanes sink to tail blocks, which the packet kernels retire
+            # after a single root visit (t_max=0). This replaces per-call
+            # ray sorting — one sort amortized over every trace of the
+            # next bounce.
+            key = _coherence_key(scene.geometry, new_origin, new_dir)
+            key = jnp.where(alive, key, jnp.int32(1 << 24))
+            perm = jnp.argsort(key)
+            new_state = jax.tree_util.tree_map(lambda x: x[perm], new_state)
         return new_state, None
 
     state, _ = jax.lax.scan(
@@ -275,6 +297,9 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
     # through one final miss-check is skipped (bounded depth, like the
     # reference's RaytracingDepth cutoff).
     radiance = state["radiance"]
+    if params.sort_rays:
+        # Scatter lane-ordered radiance back to the caller's pixel order.
+        radiance = jnp.zeros_like(radiance).at[state["lane"]].set(radiance)
 
     # Radiance clamping (SettingsWidget.cxx:318-326): bound the per-sample
     # contribution to trade energy for variance.

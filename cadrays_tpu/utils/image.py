@@ -1,10 +1,11 @@
-"""Image I/O: PNG (LDR), Radiance HDR, PFM — no external deps.
+"""Image I/O: PNG (LDR), Radiance HDR, OpenEXR, PFM — no external deps.
 
 Capability contract (reference AppGui.cxx:337-509): LDR save to .png/.jpg
 from the tone-mapped buffer, HDR save to .hdr/.exr from the raw radiance
 accumulator. Here: PNG via zlib (always available), .hdr via the Radiance
-RGBE format, .pfm as the lossless float fallback for .exr use-cases.
-PIL is used opportunistically for reading jpg/png textures when present.
+RGBE format, .exr via a minimal scanline OpenEXR codec, .pfm as an extra
+lossless float format. PIL is used opportunistically for reading
+jpg textures when present.
 """
 from __future__ import annotations
 
@@ -207,6 +208,117 @@ def read_pfm(path: str) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# OpenEXR (scanline, uncompressed, float32 RGB)
+# ---------------------------------------------------------------------------
+#
+# Reference capability: HDR image save to .exr from the raw radiance
+# accumulator (AppGui.cxx:345-350, Graphic3d_BT_RGB_RayTraceHdrLeft).
+# Minimal self-contained OpenEXR 2.0 codec: single part, scanline storage,
+# no compression, three FLOAT channels. Readable by any EXR consumer.
+
+def _exr_attr(name: bytes, typ: bytes, data: bytes) -> bytes:
+    return name + b"\0" + typ + b"\0" + struct.pack("<I", len(data)) + data
+
+
+def write_exr(path: str, image: np.ndarray) -> None:
+    """OpenEXR v2 scanline file, uncompressed float32 RGB."""
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=2)
+    h, w = img.shape[:2]
+    # channel list: alphabetical (B, G, R), pixel type 2 = FLOAT
+    chan = b""
+    for c in (b"B", b"G", b"R"):
+        chan += c + b"\0" + struct.pack("<iiii", 2, 0, 1, 1)
+    chan += b"\0"
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header = b"".join([
+        _exr_attr(b"channels", b"chlist", chan),
+        _exr_attr(b"compression", b"compression", b"\0"),  # NO_COMPRESSION
+        _exr_attr(b"dataWindow", b"box2i", box),
+        _exr_attr(b"displayWindow", b"box2i", box),
+        _exr_attr(b"lineOrder", b"lineOrder", b"\0"),  # INCREASING_Y
+        _exr_attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0)),
+        _exr_attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0, 0)),
+        _exr_attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0)),
+        b"\0",
+    ])
+    magic = struct.pack("<I", 20000630) + struct.pack("<I", 2)
+    scan_bytes = w * 4 * 3
+    table_pos = len(magic) + len(header)
+    data_pos = table_pos + 8 * h
+    offsets = [data_pos + y * (8 + scan_bytes) for y in range(h)]
+    with open(path, "wb") as f:
+        f.write(magic)
+        f.write(header)
+        f.write(struct.pack(f"<{h}Q", *offsets))
+        for y in range(h):
+            f.write(struct.pack("<ii", y, scan_bytes))
+            # channels alphabetical: B, G, R — full row each
+            f.write(img[y, :, 2].astype("<f4").tobytes())
+            f.write(img[y, :, 1].astype("<f4").tobytes())
+            f.write(img[y, :, 0].astype("<f4").tobytes())
+
+
+def read_exr(path: str) -> np.ndarray:
+    """Reader for the subset write_exr emits (+ HALF pixels) -> (H,W,3)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    magic, version = struct.unpack_from("<II", buf, 0)
+    if magic != 20000630:
+        raise ValueError(f"{path}: not an EXR file")
+    if version & 0x200:
+        raise ValueError(f"{path}: multi-part EXR unsupported")
+    pos = 8
+    channels = []
+    data_window = None
+    compression = None
+    while buf[pos] != 0:
+        name_end = buf.index(b"\0", pos)
+        name = buf[pos:name_end]
+        pos = name_end + 1
+        typ_end = buf.index(b"\0", pos)
+        pos = typ_end + 1
+        (size,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        data = buf[pos:pos + size]
+        pos += size
+        if name == b"channels":
+            cp = 0
+            while data[cp] != 0:
+                ce = data.index(b"\0", cp)
+                cname = data[cp:ce].decode()
+                ptype = struct.unpack_from("<i", data, ce + 1)[0]
+                channels.append((cname, ptype))
+                cp = ce + 17
+        elif name == b"dataWindow":
+            data_window = struct.unpack("<iiii", data)
+        elif name == b"compression":
+            compression = data[0]
+    pos += 1  # header terminator
+    if compression != 0:
+        raise ValueError(f"{path}: only uncompressed EXR supported")
+    x0, y0, x1, y1 = data_window
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    pos += 8 * h  # skip offset table
+    psize = {1: 2, 2: 4}  # HALF, FLOAT
+    out = {c: np.zeros((h, w), np.float32) for c, _ in channels}
+    for _ in range(h):
+        y, nbytes = struct.unpack_from("<ii", buf, pos)
+        pos += 8
+        for cname, ptype in channels:  # alphabetical in file
+            n = w * psize[ptype]
+            row = np.frombuffer(buf[pos:pos + n],
+                                "<f2" if ptype == 1 else "<f4")
+            out[cname][y - y0] = row.astype(np.float32)
+            pos += n
+    if all(k in out for k in "RGB"):
+        return np.stack([out["R"], out["G"], out["B"]], axis=-1)
+    first = next(iter(out.values()))
+    return np.repeat(first[..., None], 3, axis=2)
+
+
+# ---------------------------------------------------------------------------
 # Generic entry points
 # ---------------------------------------------------------------------------
 
@@ -217,6 +329,8 @@ def load_image(path: str, to_linear: bool = True) -> np.ndarray:
         return read_hdr(path)
     if low.endswith(".pfm"):
         return read_pfm(path)
+    if low.endswith(".exr"):
+        return read_exr(path)
     if low.endswith(".png"):
         img = read_png(path)
     else:
@@ -240,8 +354,9 @@ def save_image(path: str, image: np.ndarray) -> None:
     low = path.lower()
     if low.endswith(".hdr"):
         write_hdr(path, image)
-    elif low.endswith(".pfm") or low.endswith(".exr"):
-        # .exr requested -> lossless float PFM with a warning extension swap
-        write_pfm(path if low.endswith(".pfm") else path[:-4] + ".pfm", image)
+    elif low.endswith(".exr"):
+        write_exr(path, image)
+    elif low.endswith(".pfm"):
+        write_pfm(path, image)
     else:
         write_png(path, image)

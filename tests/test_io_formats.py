@@ -179,3 +179,28 @@ class TestViewerInternals:
         img = read_png(path)
         os.unlink(path)
         assert img.shape == (16, 16, 3)
+
+
+class TestEXR:
+    def test_roundtrip(self, tmp_path):
+        from cadrays_tpu.utils.image import read_exr, write_exr
+
+        rng = np.random.default_rng(7)
+        img = (rng.random((9, 13, 3)) * 40.0).astype(np.float32)
+        p = str(tmp_path / "t.exr")
+        write_exr(p, img)
+        back = read_exr(p)
+        assert back.shape == img.shape
+        np.testing.assert_allclose(back, img, rtol=0, atol=0)
+        # sanity: proper EXR magic so external tools accept it
+        with open(p, "rb") as f:
+            assert struct.unpack("<I", f.read(4))[0] == 20000630
+
+    def test_save_image_dispatch(self, tmp_path):
+        from cadrays_tpu.utils.image import load_image, save_image
+
+        img = np.linspace(0, 4, 5 * 6 * 3, dtype=np.float32).reshape(5, 6, 3)
+        p = str(tmp_path / "radiance.exr")
+        save_image(p, img)
+        back = load_image(p)
+        np.testing.assert_allclose(back, img, atol=0)
