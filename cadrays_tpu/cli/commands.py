@@ -219,9 +219,23 @@ class Console:
         if staged is None:
             raise CommandError(f"no staged shape '{name}'")
         mesh, ntype = staged
-        # box faces explode to the 6 canonical faces; other meshes to
-        # connected components.
-        if mesh.num_triangles == 12 and mesh.num_vertices == 24:
+        typed = len(args) > 1
+        # un-typed explode on a compound -> its recorded sub-shapes
+        # (DRAW compound semantics, Materials.tcl:22-23); box faces
+        # explode to the 6 canonical faces; other meshes to connected
+        # components.
+        if not typed and mesh.part_ranges is not None:
+            parts = []
+            for t0, t1 in mesh.part_ranges:
+                tris = mesh.indices[t0:t1]
+                used = np.unique(tris)
+                remap = np.full(mesh.num_vertices, -1, np.int32)
+                remap[used] = np.arange(used.size, dtype=np.int32)
+                parts.append(TriangleMesh(
+                    mesh.vertices[used], remap[tris],
+                    None if mesh.normals is None else mesh.normals[used],
+                    None if mesh.uvs is None else mesh.uvs[used]))
+        elif mesh.num_triangles == 12 and mesh.num_vertices == 24:
             parts = [primitives_face(mesh, k) for k in range(6)]
         else:
             from cadrays_tpu.scene.model import split_by_connectivity
@@ -231,18 +245,139 @@ class Console:
             self.session.staging[f"{name}_{i + 1}"] = (p, ntype)
         return " ".join(f"{name}_{i + 1}" for i in range(len(parts)))
 
-    def cmd_ttranslate(self, args):
+    def cmd_wedge(self, args):
+        """wedge name dx dy dz ltx (DRAW solid kernel)."""
         name = args[0]
-        v = [float(x) for x in args[1:4]]
+        vals = [float(x) for x in args[1:5]]
+        self.session.staging[name] = (primitives.wedge(*vals),
+                                      NodeType.CAD_SHAPE)
+        return ""
+
+    def _affine(self, name: str, m: np.ndarray,
+                flip_winding: bool = False) -> None:
+        """Apply a 4x4 transform to a staged shape (baked into vertices,
+        DRAW t* semantics) or to a displayed node's instance transform."""
         staged = self.session.staging.get(name)
         if staged is not None:
             mesh, t = staged
-            self.session.staging[name] = (mesh.transformed(_translate(v)), t)
-            return ""
+            mesh = mesh.transformed(m)
+            if flip_winding:
+                mesh.indices = mesh.indices[:, [0, 2, 1]].copy()
+            self.session.staging[name] = (mesh, t)
+            return
         node = self._node(name)
-        node.transform = _translate(v) @ node.transform
+        node.transform = (m @ node.transform).astype(np.float32)
         self.session.scene.touch()
+
+    def cmd_ttranslate(self, args):
+        name = args[0]
+        v = [float(x) for x in args[1:4]]
+        self._affine(name, _translate(v))
         return ""
+
+    def cmd_trotate(self, args):
+        """trotate name x y z dx dy dz angle — rotate about an axis
+        through a point (DRAW transform commands used by Shape.tcl)."""
+        name = args[0]
+        vals = [float(x) for x in args[1:8]]
+        p, axis, ang = vals[0:3], vals[3:6], vals[6]
+        m = (_translate(p) @ _axis_angle(axis, ang)
+             @ _translate([-p[0], -p[1], -p[2]]))
+        self._affine(name, m)
+        return ""
+
+    def cmd_tscale(self, args):
+        """tscale name x y z factor — scale about a point."""
+        name = args[0]
+        vals = [float(x) for x in args[1:5]]
+        p, s = vals[0:3], vals[3]
+        m = _translate(p) @ np.diag([s, s, s, 1.0]).astype(np.float32) \
+            @ _translate([-p[0], -p[1], -p[2]])
+        self._affine(name, m)
+        return ""
+
+    def cmd_tmirror(self, args):
+        """tmirror name x y z dx dy dz — mirror through the plane with
+        point (x,y,z) and normal (dx,dy,dz); winding is flipped so faces
+        stay outward."""
+        name = args[0]
+        vals = [float(x) for x in args[1:7]]
+        p = np.asarray(vals[0:3], np.float64)
+        n = np.asarray(vals[3:6], np.float64)
+        ln = np.linalg.norm(n)
+        if ln < 1e-12:
+            raise CommandError("tmirror: zero plane normal")
+        n /= ln
+        refl = np.eye(4, dtype=np.float32)
+        refl[:3, :3] = (np.eye(3) - 2.0 * np.outer(n, n)).astype(np.float32)
+        m = _translate(p) @ refl @ _translate(-p)
+        self._affine(name, m, flip_winding=True)
+        return ""
+
+    def cmd_compound(self, args):
+        """compound s1 s2 ... result — merge staged shapes (DRAW)."""
+        if len(args) < 2:
+            raise CommandError("compound: need sources and a result name")
+        *srcs, dst = args
+        meshes, ntype = [], NodeType.CAD_SHAPE
+        for s in srcs:
+            staged = self.session.staging.get(s)
+            if staged is None:
+                raise CommandError(f"no staged shape '{s}'")
+            meshes.append(staged[0])
+            ntype = staged[1]
+        merged = TriangleMesh.merge(meshes)
+        ranges, t0 = [], 0
+        for m in meshes:
+            ranges.append((t0, t0 + m.num_triangles))
+            t0 += m.num_triangles
+        merged.part_ranges = np.asarray(ranges, np.int32)
+        self.session.staging[dst] = (merged, ntype)
+        return ""
+
+    def cmd_copy(self, args):
+        """copy src dst (DRAW tcopy/copy: duplicate a staged shape)."""
+        src, dst = args[0], args[1]
+        staged = self.session.staging.get(src)
+        if staged is None:
+            raise CommandError(f"no staged shape '{src}'")
+        mesh, t = staged
+        self.session.staging[dst] = (TriangleMesh(
+            mesh.vertices.copy(), mesh.indices.copy(),
+            None if mesh.normals is None else mesh.normals.copy(),
+            None if mesh.uvs is None else mesh.uvs.copy(),
+            None if mesh.part_ranges is None else mesh.part_ranges.copy()), t)
+        return ""
+
+    def cmd_tcopy(self, args):
+        return self.cmd_copy(args)
+
+    def cmd_renamevar(self, args):
+        """renamevar old new — rename a staged shape variable."""
+        src, dst = args[0], args[1]
+        staged = self.session.staging.pop(src, None)
+        if staged is None:
+            raise CommandError(f"no staged shape '{src}'")
+        self.session.staging[dst] = staged
+        return ""
+
+    def cmd_incmesh(self, args):
+        return ""  # tessellation happens at primitive creation here
+
+    def cmd_donly(self, args):
+        """donly/vdonly name... — display only the named objects
+        (hide everything else)."""
+        names = set(self._strip_noupdate(args))
+        sc = self.session.scene
+        for leaf in sc.model.leaves(visible_only=False):
+            if leaf.name not in names:
+                leaf.hide()
+        self.cmd_vdisplay(list(names))
+        sc.touch()
+        return ""
+
+    def cmd_vdonly(self, args):
+        return self.cmd_donly(args)
 
     # =======================================================================
     # display / scene commands
@@ -989,6 +1124,14 @@ def _load_mesh_file(path: str):
         from cadrays_tpu.geometry.loaders.gltf import load_gltf
 
         return load_gltf(path)
+    if low.endswith(".3ds"):
+        from cadrays_tpu.geometry.loaders.t3ds import load_3ds
+
+        return load_3ds(path)
+    if low.endswith(".dxf"):
+        from cadrays_tpu.geometry.loaders.dxf import load_dxf
+
+        return load_dxf(path)
     from cadrays_tpu.geometry.cad import CAD_EXTENSIONS
 
     if low.endswith(CAD_EXTENSIONS):
@@ -998,9 +1141,15 @@ def _load_mesh_file(path: str):
             return [LoadedPart(mesh=m) for m in load_cad(path)]
         except RuntimeError as e:
             raise CommandError(str(e)) from e
+    if low.endswith((".fbx", ".blend")):
+        raise CommandError(
+            f"{os.path.splitext(path)[1]} needs an external converter "
+            "(no native parser): export to glTF/OBJ/PLY first — e.g. "
+            "`blender -b file.blend -o out.glb` or assimp/FBX2glTF.")
     raise CommandError(
-        f"unsupported mesh format: {path} (obj/ply/stl/gltf/glb native; "
-        "STEP/IGES/BREP via a CAD tessellation backend, geometry/cad.py)")
+        f"unsupported mesh format: {path} (obj/ply/stl/gltf/glb/3ds/dxf "
+        "native; STEP/IGES/BREP via a CAD tessellation backend, "
+        "geometry/cad.py)")
 
 
 def _material_from_part(part) -> Material:
@@ -1019,3 +1168,16 @@ def _attach_texture(session: Session, name: str, path: str,
 
     img = load_image(path)
     session.scene.set_texture(name, path, img, uv_scale=scale)
+
+
+def make_console(session: Optional[Session] = None):
+    """Best console for this interpreter: a real Tcl 8.6 interpreter
+    (`cli/tcl.py`, matching the reference's embedded DRAW Tcl,
+    main.cxx:44-55) when CPython's tkinter is present, else the plain
+    line-by-line `Console`. Both expose `.exec(line)` / `.source(path)`."""
+    try:
+        from cadrays_tpu.cli.tcl import TclConsole
+
+        return TclConsole(session)
+    except Exception:
+        return Console(session)

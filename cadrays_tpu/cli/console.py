@@ -13,11 +13,12 @@ import sys
 
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
-    from cadrays_tpu.cli.commands import CommandError, Console, Session
+    from cadrays_tpu.cli.commands import (CommandError, Session,
+                                           make_console)
     from cadrays_tpu.version import __version__
 
     session = Session()
-    console = Console(session)
+    console = make_console(session)
     print(f"cadrays_tpu {__version__} console — 'help' lists commands, "
           "ctrl-D exits")
     import jax

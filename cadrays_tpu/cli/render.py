@@ -34,14 +34,14 @@ def main(argv=None) -> int:
 
     import numpy as np
 
-    from cadrays_tpu.cli.commands import Console, Session
+    from cadrays_tpu.cli.commands import Session, make_console
     from cadrays_tpu.core.tonemap import apply_tonemap, linear_to_srgb
     from cadrays_tpu.integrator.progressive import progressive_step
     from cadrays_tpu.utils.image import save_image
 
     session = Session()
     session.cwd = os.path.dirname(os.path.abspath(args.script)) or "."
-    console = Console(session)
+    console = make_console(session)
     console.source(args.script)
     if args.res:
         session.width, session.height = args.res

@@ -135,11 +135,11 @@ def main(argv=None) -> int:
     ap.add_argument("--spp-per-pass", type=int, default=1)
     args = ap.parse_args(argv)
 
-    from cadrays_tpu.cli.commands import Console, Session
+    from cadrays_tpu.cli.commands import Session, make_console
     from cadrays_tpu.integrator.progressive import progressive_step
 
     session = Session()
-    console = Console(session)
+    console = make_console(session)
     if args.script:
         import os
 

@@ -20,6 +20,10 @@ class TriangleMesh:
     indices: np.ndarray  # (T, 3) int32
     normals: Optional[np.ndarray] = None  # (V, 3) float32 (per-vertex)
     uvs: Optional[np.ndarray] = None  # (V, 2) float32
+    # Optional top-level sub-shape boundaries as (P, 2) triangle ranges:
+    # set by `compound`, consumed by un-typed `explode` (DRAW splits a
+    # compound into its sub-shapes, Materials.tcl:22-23).
+    part_ranges: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, np.float32)
@@ -84,7 +88,9 @@ class TriangleMesh:
             ln = np.linalg.norm(n, axis=-1, keepdims=True)
             n = (n / np.maximum(ln, 1e-20)).astype(np.float32)
         return TriangleMesh(v, self.indices.copy(), n,
-                            None if self.uvs is None else self.uvs.copy())
+                            None if self.uvs is None else self.uvs.copy(),
+                            None if self.part_ranges is None
+                            else self.part_ranges.copy())
 
     def bounds(self):
         return self.vertices.min(axis=0), self.vertices.max(axis=0)

@@ -191,3 +191,32 @@ def torus(major: float = 1.0, minor: float = 0.25, segments: int = 48,
             idx += [[a, c, b], [b, c, d]]
     return TriangleMesh(verts, np.array(idx, np.int32), norms,
                         uvs.astype(np.float32))
+
+
+def wedge(dx: float, dy: float, dz: float, ltx: float) -> TriangleMesh:
+    """DRAW `wedge name dx dy dz ltx`: a box [0,dx]x[0,dy]x[0,dz] whose
+    top face (y=dy) has its x extent shrunk to [0,ltx] (Shape.tcl-style
+    solids). Flat shading via duplicated vertices per face."""
+    b = [(0, 0, 0), (dx, 0, 0), (dx, 0, dz), (0, 0, dz)]   # y=0 ring
+    t = [(0, dy, 0), (ltx, dy, 0), (ltx, dy, dz), (0, dy, dz)]  # y=dy ring
+    quads = [
+        (b[3], b[2], b[1], b[0]),      # bottom (y=0), normal -y
+        (t[0], t[1], t[2], t[3]),      # top (y=dy), normal +y
+        (b[0], b[1], t[1], t[0]),      # z=0 side
+        (b[2], b[3], t[3], t[2]),      # z=dz side
+        (b[1], b[2], t[2], t[1]),      # slanted +x side
+        (b[3], b[0], t[0], t[3]),      # x=0 side
+    ]
+    parts = []
+    for q in quads:
+        v = np.asarray(q, np.float32)
+        e1, e2 = v[1] - v[0], v[2] - v[0]
+        n = np.cross(e1, e2)
+        ln = np.linalg.norm(n)
+        if ln < 1e-12:  # degenerate (ltx == 0 collapses the top)
+            continue
+        n = np.tile((n / ln).astype(np.float32), (4, 1))
+        uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        parts.append(TriangleMesh(
+            v, np.array([[0, 1, 2], [0, 2, 3]], np.int32), n, uv))
+    return TriangleMesh.merge(parts)

@@ -216,9 +216,9 @@ def export_scene(session, directory: str,
 def import_scene(session, script_path: str):
     """Re-run an exported scene script (the reference's `vclear; source`
     re-import flow, ImportSettingsEditor.cxx:371-391)."""
-    from cadrays_tpu.cli.commands import Console
+    from cadrays_tpu.cli.commands import make_console
 
-    console = Console(session)
+    console = make_console(session)
     old_cwd = session.cwd
     session.cwd = os.path.dirname(os.path.abspath(script_path))
     try:

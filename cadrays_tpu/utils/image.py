@@ -358,5 +358,18 @@ def save_image(path: str, image: np.ndarray) -> None:
         write_exr(path, image)
     elif low.endswith(".pfm"):
         write_pfm(path, image)
+    elif low.endswith((".jpg", ".jpeg", ".bmp", ".tga")):
+        # LDR formats the reference saves via stb (AppGui.cxx:337-433);
+        # delegated to PIL when present, since these codecs aren't native.
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise ValueError(
+                f"saving {path} needs PIL (not installed); "
+                "use .png for native LDR output") from e
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        Image.fromarray(arr, "RGB").save(path)
     else:
         write_png(path, image)

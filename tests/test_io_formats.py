@@ -204,3 +204,113 @@ class TestEXR:
         save_image(p, img)
         back = load_image(p)
         np.testing.assert_allclose(back, img, atol=0)
+
+
+class Test3DS:
+    def test_roundtrip(self, tmp_path):
+        from cadrays_tpu.geometry import primitives
+        from cadrays_tpu.geometry.loaders.t3ds import load_3ds, save_3ds
+
+        mesh = primitives.sphere(1.0, 16, 8)
+        path = str(tmp_path / "s.3ds")
+        save_3ds(path, mesh, "ball")
+        parts = load_3ds(path)
+        assert len(parts) == 1
+        m = parts[0].mesh
+        assert m.num_triangles == mesh.num_triangles
+        assert m.uvs is not None and m.normals is not None
+        # loader compacts unused vertices; compare world-space triangles
+        np.testing.assert_allclose(
+            np.sort(m.vertices[m.indices].reshape(-1, 9), axis=0),
+            np.sort(mesh.vertices[mesh.indices].reshape(-1, 9), axis=0),
+            atol=1e-6)
+
+    def test_bad_magic(self, tmp_path):
+        path = str(tmp_path / "bad.3ds")
+        with open(path, "wb") as f:
+            f.write(b"\x00" * 32)
+        with pytest.raises(ValueError, match="magic"):
+            from cadrays_tpu.geometry.loaders.t3ds import load_3ds
+
+            load_3ds(path)
+
+    def test_rtmeshread(self, tmp_path):
+        from cadrays_tpu.cli.commands import Console, Session
+        from cadrays_tpu.geometry import primitives
+        from cadrays_tpu.geometry.loaders.t3ds import save_3ds
+
+        path = str(tmp_path / "b.3ds")
+        save_3ds(path, primitives.box(1, 1, 1), "b")
+        console = Console(Session())
+        console.exec(f"rtmeshread {path} b3ds")
+        assert console.session.scene.model.get("b3ds").mesh.num_triangles == 12
+
+
+class TestDXF:
+    def test_roundtrip(self, tmp_path):
+        from cadrays_tpu.geometry import primitives
+        from cadrays_tpu.geometry.loaders.dxf import load_dxf, save_dxf
+
+        mesh = primitives.box(1, 2, 3)
+        path = str(tmp_path / "b.dxf")
+        save_dxf(path, mesh, layer="walls")
+        parts = load_dxf(path)
+        assert len(parts) == 1 and parts[0].material_name == "walls"
+        m = parts[0].mesh
+        assert m.num_triangles == 12
+        np.testing.assert_allclose(m.bounds()[1], [1, 2, 3], atol=1e-5)
+
+    def test_polyface_mesh(self, tmp_path):
+        # hand-written polyface: unit right triangle pair (a quad face)
+        lines = ["0", "SECTION", "2", "ENTITIES",
+                 "0", "POLYLINE", "8", "L", "70", "64",
+                 "0", "VERTEX", "8", "L", "70", "192",
+                 "10", "0", "20", "0", "30", "0",
+                 "0", "VERTEX", "8", "L", "70", "192",
+                 "10", "1", "20", "0", "30", "0",
+                 "0", "VERTEX", "8", "L", "70", "192",
+                 "10", "1", "20", "1", "30", "0",
+                 "0", "VERTEX", "8", "L", "70", "192",
+                 "10", "0", "20", "1", "30", "0",
+                 "0", "VERTEX", "8", "L", "70", "128",
+                 "71", "1", "72", "2", "73", "3", "74", "4",
+                 "0", "SEQEND",
+                 "0", "ENDSEC", "0", "EOF"]
+        path = str(tmp_path / "p.dxf")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        from cadrays_tpu.geometry.loaders.dxf import load_dxf
+
+        parts = load_dxf(path)
+        assert parts[0].mesh.num_triangles == 2  # quad fan-split
+
+    def test_empty_raises(self, tmp_path):
+        path = str(tmp_path / "e.dxf")
+        with open(path, "w") as f:
+            f.write("0\nSECTION\n2\nENTITIES\n0\nENDSEC\n0\nEOF\n")
+        from cadrays_tpu.geometry.loaders.dxf import load_dxf
+
+        with pytest.raises(ValueError, match="3DFACE"):
+            load_dxf(path)
+
+
+class TestLdrFormats:
+    def test_jpeg_save_load(self, tmp_path):
+        pytest.importorskip("PIL")
+        from cadrays_tpu.utils.image import load_image, save_image
+
+        img = np.zeros((8, 8, 3), np.float32)
+        img[:, :, 0] = 1.0
+        path = str(tmp_path / "r.jpg")
+        save_image(path, img)
+        back = load_image(path, to_linear=False)
+        assert back.shape == (8, 8, 3)
+        assert back[:, :, 0].mean() > 0.9 and back[:, :, 1].mean() < 0.1
+
+    def test_fbx_gated(self, tmp_path):
+        from cadrays_tpu.cli.commands import CommandError, Console, Session
+
+        path = str(tmp_path / "x.fbx")
+        open(path, "wb").close()
+        with pytest.raises(CommandError, match="glTF"):
+            Console(Session()).exec(f"rtmeshread {path}")
