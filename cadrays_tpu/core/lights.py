@@ -102,6 +102,28 @@ def empty_lights() -> Lights:
                   smooth=z, enabled=z, headlight=z)
 
 
+def pack_lights(lights: Lights) -> jnp.ndarray:
+    """(L, 10) packed rows [kind color(3) intensity vec(3) smooth enabled]
+    so a per-ray light lookup is ONE row gather (TPU gathers bill per op;
+    `gather()`'s 7 field gathers at wavefront size cost ~7x this).
+    Differentiable w.r.t. the light leaves."""
+    return jnp.concatenate([
+        lights.kind.astype(jnp.float32)[:, None], lights.color,
+        lights.intensity[:, None], lights.vec, lights.smooth[:, None],
+        lights.enabled[:, None],
+    ], axis=1)
+
+
+def sample_light_rows(rows: jnp.ndarray, p, u1, u2):
+    """`sample_light` on pre-gathered packed rows (R, 10)."""
+    lt = Lights(
+        kind=rows[:, 0].astype(jnp.int32), color=rows[:, 1:4],
+        intensity=rows[:, 4], vec=rows[:, 5:8], smooth=rows[:, 8],
+        enabled=rows[:, 9], headlight=jnp.zeros_like(rows[:, 9]),
+    )
+    return _sample_light_fields(lt, p, u1, u2)
+
+
 def sample_light(lights: Lights, light_idx, p, u1, u2):
     """Sample one NEE connection to light ``light_idx`` from point ``p``.
 
@@ -110,7 +132,10 @@ def sample_light(lights: Lights, light_idx, p, u1, u2):
     radiance / pdf already — i.e. the *unoccluded contribution before the
     BSDF term*), valid mask.
     """
-    lt = lights.gather(light_idx)
+    return _sample_light_fields(lights.gather(light_idx), p, u1, u2)
+
+
+def _sample_light_fields(lt: Lights, p, u1, u2):
     is_dir = lt.kind == LIGHT_DIRECTIONAL
     emit = lt.color * (lt.intensity * lt.enabled)[..., None]
 

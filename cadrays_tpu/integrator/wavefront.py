@@ -28,10 +28,10 @@ from cadrays_tpu.core import sampling as smp
 from cadrays_tpu.core import vecmath as vm
 from cadrays_tpu.core.bsdf import absorption_sigma, eval_bsdf, sample_bsdf
 from cadrays_tpu.core.camera import Camera
-from cadrays_tpu.core.lights import sample_light
+from cadrays_tpu.core.lights import pack_lights, sample_light_rows
 from cadrays_tpu.integrator.params import RenderParams
 from cadrays_tpu.ops import envmap as envops
-from cadrays_tpu.ops.hit import hit_attributes
+from cadrays_tpu.ops.hit import build_shade_table, hit_attributes_packed
 from cadrays_tpu.ops.intersect import INF, offset_ray_origin
 from cadrays_tpu.ops.texture import sample_texture
 from cadrays_tpu.ops.traverse import _coherence_key, trace
@@ -96,6 +96,14 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
         pid = pix if not params.coherent else jnp.zeros_like(pix)
         return crng.sample4(pid, sample_id, _rng_dim(bounce, slot), seed)
 
+    # One (T, C) row per triangle: geometry + its full material. Built
+    # once per sample (loop-invariant -> hoisted out of the bounce scan);
+    # shading then costs ONE per-ray row gather per bounce instead of ~30
+    # (ops/hit.py measurement: TPU gathers bill per op, not per byte).
+    shade_tab = build_shade_table(scene.geometry, scene.materials)
+    light_tab = pack_lights(scene.lights) if has_lights else None
+    em_tab = _build_emissive_table(scene) if has_emissive else None
+
     def bounce_step(state, bounce):
         o, d = state["origin"], state["direction"]
         # Dead lanes trace with t_max=0: the packet kernel treats them as
@@ -103,7 +111,8 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
         # after one root visit — free compaction under static shapes.
         res = trace(scene.geometry, o, d,
                     jnp.where(state["alive"], INF, 0.0))
-        h = hit_attributes(scene.geometry, o, d, res["tri"])
+        h, mat = hit_attributes_packed(scene.geometry, shade_tab, o, d,
+                                       res["tri"])
         hit = h["hit"] & state["alive"]
         miss = (~h["hit"]) & state["alive"]
 
@@ -136,7 +145,6 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
             radiance = radiance + bg[..., None] * params.background_color
 
         # ---- surface shading -------------------------------------------
-        mat = scene.materials.gather(h["mat_id"])
         tex = sample_texture(scene.textures, mat.tex_id, h["uv"], mat.uv_scale)
         mat = mat.replace(kd=mat.kd * tex)
 
@@ -181,7 +189,7 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
                 (u[0] * scene.lights.count).astype(jnp.int32),
                 scene.lights.count - 1,
             )
-            ls = sample_light(scene.lights, lsel, h["position"], u[1], u[2])
+            ls = sample_light_rows(light_tab[lsel], h["position"], u[1], u[2])
             f, _ = eval_bsdf(mat, wo, ls["wi"], n)
             cos_i = jnp.clip(vm.dot(ls["wi"], n), 0.0, 1.0)
             vis_need = hit & ls["valid"] & (cos_i > 0.0)
@@ -194,7 +202,7 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
 
         if has_emissive:
             u = rng4(state["pix"], bounce, _DIM_NEE + 1)
-            em = _sample_emissive(scene, h["position"], u)
+            em = _sample_emissive(scene, em_tab, h["position"], u)
             f, pdf_b = eval_bsdf(mat, wo, em["wi"], n)
             cos_i = jnp.clip(vm.dot(em["wi"], n), 0.0, 1.0)
             vis_need = hit & em["valid"] & (cos_i > 0.0)
@@ -291,11 +299,13 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
             # lanes sink to tail blocks, which the packet kernels retire
             # after a single root visit (t_max=0). This replaces per-call
             # ray sorting — one sort amortized over every trace of the
-            # next bounce.
+            # next bounce. The state is packed into a single matrix so the
+            # permutation is ONE row gather, not one per field (a
+            # per-field tree_map permute measured 9x slower on TPU).
             key = _coherence_key(scene.geometry, new_origin, new_dir)
             key = jnp.where(alive, key, jnp.int32(1 << 24))
             perm = jnp.argsort(key)
-            new_state = jax.tree_util.tree_map(lambda x: x[perm], new_state)
+            new_state = _unpack_state(_pack_state(new_state)[perm])
         return new_state, None
 
     state, _ = jax.lax.scan(
@@ -320,17 +330,60 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
     return jnp.nan_to_num(radiance, nan=0.0, posinf=0.0, neginf=0.0)
 
 
-def _sample_emissive(scene: SceneData, p, u):
+def _pack_state(s):
+    """Wavefront state dict -> one (R, 20) f32 matrix (ints/bools encoded
+    losslessly) so a lane permutation is a single row gather."""
+    bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)[:, None]
+    return jnp.concatenate([
+        s["origin"], s["direction"], s["throughput"], s["radiance"],
+        s["sigma"], s["prev_pdf"][:, None],
+        s["alive"].astype(jnp.float32)[:, None],
+        s["prev_delta"].astype(jnp.float32)[:, None],
+        bc(s["pix"]), bc(s["lane"]),
+    ], axis=1)
+
+
+def _unpack_state(m):
+    bi = lambda c: jax.lax.bitcast_convert_type(m[:, c], jnp.int32)
+    return dict(
+        origin=m[:, 0:3], direction=m[:, 3:6], throughput=m[:, 6:9],
+        radiance=m[:, 9:12], sigma=m[:, 12:15], prev_pdf=m[:, 15],
+        alive=m[:, 16] > 0.5, prev_delta=m[:, 17] > 0.5,
+        pix=bi(18), lane=bi(19),
+    )
+
+
+def _build_emissive_table(scene: SceneData) -> jnp.ndarray:
+    """(E, 12/13) packed emissive-triangle rows [p0 p1 p2 le (+inst)] —
+    built once per sample so `_sample_emissive` needs one row gather per
+    bounce instead of ~20 field gathers."""
+    em = scene.emissive
+    g = scene.geometry
+    tid = em.tri_idx
+    tv = g.tri_v[tid]
+    p0 = g.vertices[tv[:, 0]]
+    p1 = g.vertices[tv[:, 1]]
+    p2 = g.vertices[tv[:, 2]]
+    le = scene.materials.le[g.tri_mat[tid]]
+    cols = [p0, p1, p2, le]
+    if g.instanced:
+        cols.append(g.tri_inst[tid].astype(jnp.float32)[:, None])
+    return jnp.concatenate(cols, axis=1)
+
+
+def _sample_emissive(scene: SceneData, em_tab, p, u):
     """Sample a point on the emissive-triangle table (power-proportional)."""
     em = scene.emissive
     idx = jnp.searchsorted(em.cdf, u[0], side="left")
     idx = jnp.clip(idx, 0, em.cdf.shape[0] - 1)
-    tid = em.tri_idx[idx]
     g = scene.geometry
-    i0, i1, i2 = g.tri_v[tid, 0], g.tri_v[tid, 1], g.tri_v[tid, 2]
-    p0, p1, p2 = g.vertices[i0], g.vertices[i1], g.vertices[i2]
+    rows = em_tab[idx]  # (R, C) — the one gather
+    p0 = rows[:, 0:3]
+    p1 = rows[:, 3:6]
+    p2 = rows[:, 6:9]
+    le = rows[:, 9:12]
     if g.instanced:
-        tf = g.inst_tf[g.tri_inst[tid]]  # (R, 3, 4) object->world
+        tf = g.inst_tf[rows[:, 12].astype(jnp.int32)]  # (R, 3, 4)
         lin = tf[..., :3]
         p0 = jnp.einsum("rij,rj->ri", lin, p0) + tf[..., 3]
         p1 = jnp.einsum("rij,rj->ri", lin, p1) + tf[..., 3]
@@ -351,8 +404,6 @@ def _sample_emissive(scene: SceneData, p, u):
     cos_l = vm.dot(-wi, n_l)
     # one-sided emitter: light leaves the front face only
     facing = cos_l > 1e-6
-    mat = scene.materials.gather(g.tri_mat[tid])
-    le = mat.le
     # pdf: power-proportional triangle choice * uniform area -> solid angle
     lum_le = jnp.maximum(vm.luminance(le), 1e-12)
     pdf_area = lum_le / jnp.maximum(em.total_power, 1e-12)

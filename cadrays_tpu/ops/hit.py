@@ -16,6 +16,7 @@ world via the inverse-transpose.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cadrays_tpu.core import vecmath as vm
@@ -99,3 +100,136 @@ def hit_attributes(geom: GeometryData, origin, direction, tri):
         "mat_id": geom.tri_mat[tid],
         "front": front,
     }
+
+
+# ---------------------------------------------------------------------------
+# Packed single-gather shading path
+# ---------------------------------------------------------------------------
+# Measured on TPU: a dynamic gather costs ~3-4 ms per *op* at wavefront
+# size regardless of row width ((R,) and (R,128) cost the same), so the
+# 15 per-ray gathers above (+15 more in Material.gather) dominate the
+# whole frame. The wavefront integrator instead builds ONE per-triangle
+# table (triangle geometry + its full material row) once per sample —
+# loop-invariant, so XLA hoists it out of the bounce scan — and shading
+# then needs a single (R, C) row gather per bounce.
+
+def build_shade_table(geom: GeometryData, materials) -> jnp.ndarray:
+    """(T, C) per-triangle shading rows: p0 e1 e2 | n0 n1 n2 | uv0 uv1 uv2
+    | material row | [instance id]. Differentiable: rows are jnp-derived
+    from the scene pytree leaves, so gradients flow back through the
+    gather to vertices/normals/uvs/material fields."""
+    tv = geom.tri_v
+    p0 = geom.vertices[tv[:, 0]]
+    p1 = geom.vertices[tv[:, 1]]
+    p2 = geom.vertices[tv[:, 2]]
+    n0 = geom.normals[tv[:, 0]]
+    n1 = geom.normals[tv[:, 1]]
+    n2 = geom.normals[tv[:, 2]]
+    uv0 = geom.uvs[tv[:, 0]]
+    uv1 = geom.uvs[tv[:, 1]]
+    uv2 = geom.uvs[tv[:, 2]]
+    m = materials.gather(geom.tri_mat)
+    cols = [
+        p0, p1 - p0, p2 - p0, n0, n1, n2, uv0, uv1, uv2,
+        m.kc, m.kd, m.ks, m.kt, m.le,
+        m.base_rough[:, None], m.coat_rough[:, None],
+        m.absorp_color, m.absorp_coeff[:, None],
+        m.base_ftype.astype(jnp.float32)[:, None], m.base_fparams,
+        m.coat_ftype.astype(jnp.float32)[:, None], m.coat_fparams,
+        m.tex_id.astype(jnp.float32)[:, None], m.uv_scale[:, None],
+    ]
+    if geom.instanced:
+        cols.append(geom.tri_inst.astype(jnp.float32)[:, None])
+    return jnp.concatenate(cols, axis=1)
+
+
+_MAT0 = 24  # material block offset in the packed row
+
+
+def _unpack_material(rows):
+    from cadrays_tpu.core.bsdf import Material
+
+    b = _MAT0
+
+    def seg(k):
+        nonlocal b
+        out = rows[:, b:b + k]
+        b += k
+        return out
+
+    return Material(
+        kc=seg(3), kd=seg(3), ks=seg(3), kt=seg(3), le=seg(3),
+        base_rough=seg(1)[:, 0], coat_rough=seg(1)[:, 0],
+        absorp_color=seg(3), absorp_coeff=seg(1)[:, 0],
+        base_ftype=seg(1)[:, 0].astype(jnp.int32), base_fparams=seg(4),
+        coat_ftype=seg(1)[:, 0].astype(jnp.int32), coat_fparams=seg(4),
+        tex_id=seg(1)[:, 0].astype(jnp.int32), uv_scale=seg(1)[:, 0],
+    )
+
+
+def hit_attributes_packed(geom: GeometryData, table, origin, direction, tri):
+    """Same contract as `hit_attributes` (minus mat_id) plus the gathered
+    per-ray `Material` — all from one row gather of `table`."""
+    hit = tri >= 0
+    tid = jnp.maximum(tri, 0)
+    rows = table[tid]  # (R, C) — THE gather
+    p0 = rows[:, 0:3]
+    e1 = rows[:, 3:6]
+    e2 = rows[:, 6:9]
+    n0 = rows[:, 9:12]
+    n1 = rows[:, 12:15]
+    n2 = rows[:, 15:18]
+    uv0 = rows[:, 18:20]
+    uv1 = rows[:, 20:22]
+    uv2 = rows[:, 22:24]
+    mat = _unpack_material(rows)
+
+    if geom.instanced:
+        inst = rows[:, -1].astype(jnp.int32)
+        inv = geom.inst_inv[inst]  # (R, 3, 4)
+        lin = inv[..., :3]
+        o_l = jnp.einsum("rij,rj->ri", lin, origin) + inv[..., 3]
+        d_l = jnp.einsum("rij,rj->ri", lin, direction)
+    else:
+        o_l, d_l = origin, direction
+
+    pvec = jnp.cross(d_l, e2)
+    det = vm.dot(e1, pvec)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    tvec = o_l - p0
+    u = vm.dot(tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = vm.dot(d_l, qvec) * inv_det
+    t = vm.dot(e2, qvec) * inv_det
+    u = jnp.clip(u, 0.0, 1.0)
+    v = jnp.clip(v, 0.0, 1.0)
+    w = jnp.clip(1.0 - u - v, 0.0, 1.0)
+
+    position = origin + direction * t[..., None]
+
+    n_geom_l = jnp.cross(e1, e2)
+    n_shade_l = w[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2
+
+    if geom.instanced:
+        n_geom = vm.normalize(jnp.einsum("rj,rji->ri", n_geom_l, lin))
+        n_shade = vm.normalize(jnp.einsum("rj,rji->ri", n_shade_l, lin))
+    else:
+        n_geom = vm.normalize(n_geom_l)
+        n_shade = vm.normalize(n_shade_l)
+
+    n_shade = jnp.where(
+        vm.dot(n_shade, n_geom, keepdims=True) < 0.0, -n_shade, n_shade
+    )
+    uv = w[..., None] * uv0 + u[..., None] * uv1 + v[..., None] * uv2
+
+    front = vm.dot(direction, n_geom) < 0.0
+    flip = jnp.where(front, 1.0, -1.0)[..., None]
+    return {
+        "hit": hit,
+        "t": t,
+        "position": position,
+        "n_geom": n_geom * flip,
+        "n_shade": n_shade * flip,
+        "uv": uv,
+        "front": front,
+    }, mat
