@@ -36,7 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cadrays_tpu.scene.flatten import GeometryData
 
-BLOCK = 2048
+import os
+
+# Block size trades scalar-loop amortization (bigger) against traversal
+# divergence — a block walks the union of its rays' node visits (smaller
+# is better for incoherent bounce rays). 1024 = one full VPU vreg row.
+BLOCK = int(os.environ.get("CADRAYS_TRACE_BLOCK", "2048"))
 _LEAF_MASK = (1 << 24) - 1
 MAX_LEAF = 4
 _VMEM_BUDGET = 10 * 1024 * 1024
