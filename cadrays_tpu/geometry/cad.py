@@ -105,16 +105,35 @@ def _ocp_tessellate(path: str, deflection: float) -> List[TriangleMesh]:
         "register a tessellator via register_tessellator()")
 
 
-def load_cad(path: str, deflection: float = 0.01) -> List[TriangleMesh]:
+def load_cad(path: str, deflection: float = 0.0) -> List[TriangleMesh]:
     """Tessellate a STEP/IGES/BREP file into triangle meshes.
 
     deflection: linear tessellation tolerance (the reference exposes the
-    same knob as `incmesh <shape> <deflection>`, preview.tcl:24)."""
+    same knob as `incmesh <shape> <deflection>`, preview.tcl:24);
+    <= 0 auto-picks from the model extent.
+
+    STEP and IGES are read by the framework's own B-rep pipeline
+    (`geometry/step.py` / `geometry/iges.py` over `tessellate.py`); a
+    user-registered or pythonocc backend, when present, takes priority
+    (useful for exotic entity mixes the native reader doesn't cover)."""
     backend = _TESSELLATOR or _try_occ_backend()
-    if backend is None:
-        raise RuntimeError(
-            f"no CAD tessellation backend available for {path!r}. "
-            "STEP/IGES/BREP need a CAD kernel (install pythonocc-core, or "
-            "register one with cadrays_tpu.geometry.cad.register_tessellator); "
-            "OBJ/PLY/STL/glTF import is native (rtmeshread).")
-    return backend(path, deflection)
+    if backend is not None:
+        try:
+            return backend(path, deflection if deflection > 0 else 0.01)
+        except Exception:
+            pass  # fall through to the native readers
+    low = path.lower()
+    if low.endswith((".step", ".stp")):
+        from cadrays_tpu.geometry.step import load_step
+
+        return load_step(path, deflection)
+    if low.endswith((".iges", ".igs")):
+        from cadrays_tpu.geometry.iges import load_iges
+
+        return load_iges(path, deflection)
+    raise RuntimeError(
+        f"no CAD tessellation backend available for {path!r}. "
+        "STEP/IGES are native; BREP (OCCT's own serialization) needs a "
+        "CAD kernel (install pythonocc-core, or register one with "
+        "cadrays_tpu.geometry.cad.register_tessellator); "
+        "OBJ/PLY/STL/glTF import is native (rtmeshread).")
