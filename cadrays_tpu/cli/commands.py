@@ -1052,8 +1052,9 @@ class Console:
         return self.source(self.session.resolve(args[0]))
 
     def cmd_restore(self, args):
-        """restore file.(ply|obj|stl) [name] — BREP-restore analogue for
-        our native formats (ImportSettingsEditor.cxx:290-316)."""
+        """restore file.(brep|ply|obj|stl) [name] — DRAW's BREP restore
+        (ImportSettingsEditor.cxx:290-316) via the native .brep reader
+        (geometry/brep.py); mesh formats stage the same way."""
         path = self.session.resolve(args[0])
         name = args[1] if len(args) > 1 else \
             os.path.splitext(os.path.basename(path))[0]
@@ -1139,7 +1140,7 @@ def _load_mesh_file(path: str):
 
         try:
             return [LoadedPart(mesh=m) for m in load_cad(path)]
-        except RuntimeError as e:
+        except (RuntimeError, ValueError) as e:
             raise CommandError(str(e)) from e
     if low.endswith((".fbx", ".blend")):
         raise CommandError(

@@ -37,6 +37,7 @@ from cadrays_tpu.core.fresnel import (
     FRESNEL_CONSTANT,
     FRESNEL_DIELECTRIC,
     FRESNEL_SCHLICK,
+    dielectric_reflectance,
     eval_fresnel,
 )
 
@@ -246,25 +247,53 @@ def eval_bsdf(m: Material, wo, wi, n):
 
     f = f_coat + f_diff + f_spec
 
-    # pdf matching `sample_bsdf`'s lobe selection (smooth lobes only).
+    # pdf matching `sample_bsdf`'s lobe selection. The denominator is the
+    # FULL weight sum over all lobes (delta ones included) — exactly the
+    # normalizer sample_bsdf divides by when picking a lobe — so the
+    # marginal density of a smooth direction is sum_{smooth L} p_L pdf_L.
+    # Only the numerator is restricted to smooth lobes (delta lobes have
+    # zero density at any given direction).
     w_c, w_d, w_s, w_t = _lobe_weights(m, cos_o)
-    w_c = jnp.where(coat_active, w_c, 0.0)
+    w_sum = jnp.maximum(w_c + w_d + w_s + w_t, 1e-8)
+    w_c_smooth = jnp.where(coat_active, w_c, 0.0)
     w_s_smooth = jnp.where(spec_active, w_s, 0.0)
-    w_sum = w_c + w_d + w_s_smooth + jnp.where(spec_smooth, 0.0, w_s) + w_t
-    w_sum = jnp.maximum(w_sum, 1e-8)
 
     pdf_cos = smp.cosine_hemisphere_pdf(cos_i)
     pdf_c = smp.ggx_reflect_pdf(wo, wi, n, a_c)
     pdf_s = smp.ggx_reflect_pdf(wo, wi, n, a_s)
-    pdf = (w_c * pdf_c + w_d * pdf_cos + w_s_smooth * pdf_s) / w_sum
+    pdf = (w_c_smooth * pdf_c + w_d * pdf_cos + w_s_smooth * pdf_s) / w_sum
 
     f = jnp.where(valid[..., None], f, 0.0)
     pdf = jnp.where(valid, pdf, 0.0)
     return f, pdf
 
 
-def sample_bsdf(m: Material, wo, n, u):
+def dielectric_split(eta_mat, wo, n, front):
+    """Fresnel reflect/refract split at a smooth dielectric interface.
+
+    eta_mat: material IOR (>1, the dense side); n faces the viewer (wo);
+    front: True when entering the dense medium (air->glass), False when
+    exiting. Returns (f_refl, wi_refr, tir): unpolarized reflectance,
+    refracted direction (garbage under TIR — mask with tir), TIR mask.
+    Exit-side Fresnel uses reciprocity: F is evaluated at the sparse-side
+    angle, with TIR forcing full reflection.
+    """
+    eta_rel = jnp.where(front, 1.0 / eta_mat, eta_mat)  # n_i / n_t
+    wi_refr, tir = vm.refract(-wo, n, eta_rel)
+    cos_o = jnp.clip(vm.dot(wo, n), 1e-6, 1.0)
+    cos_t = jnp.abs(vm.dot(wi_refr, n))
+    cos_sparse = jnp.where(front, cos_o, cos_t)
+    f = dielectric_reflectance(eta_mat, cos_sparse)
+    f = jnp.where(tir, 1.0, f)
+    return f, wi_refr, tir
+
+
+def sample_bsdf(m: Material, wo, n, u, front=None):
     """Sample an outgoing direction from the layered BSDF.
+
+    front: optional (...,) bool — True when the hit is on the front face
+    (entering the medium on refraction). Defaults to True (legacy callers
+    without face information; refraction then always uses 1/eta).
 
     u: (..., 4) uniforms. Returns a dict with:
       wi           (..., 3) sampled direction
@@ -305,16 +334,14 @@ def sample_bsdf(m: Material, wo, n, u):
     # diffuse: cosine hemisphere
     wi_diff = vm.to_world(smp.cosine_hemisphere(u1, u2), n)
 
-    # transmission: smooth dielectric split on base Fresnel
+    # transmission: smooth dielectric split on the material IOR, aware of
+    # the medium side (entering vs exiting) when `front` is supplied
     eta_mat = m.eta
-    f_t = eval_fresnel(
-        jnp.full_like(m.base_ftype, FRESNEL_DIELECTRIC),
-        jnp.stack([eta_mat, jnp.zeros_like(eta_mat), jnp.zeros_like(eta_mat), jnp.zeros_like(eta_mat)], axis=-1),
-        cos_o,
-    )[..., 0]
+    if front is None:
+        front = jnp.ones(cos_o.shape, bool)
+    f_t, wi_refr, tir = dielectric_split(eta_mat, wo, n, front)
     refl_t = u[..., 3] < f_t
     wi_mirror = vm.normalize(vm.reflect(-wo, n))
-    wi_refr, tir = vm.refract(-wo, n, 1.0 / eta_mat)
     wi_refr = vm.normalize(wi_refr)
     do_refract = (~refl_t) & (~tir)
     wi_trans = jnp.where(do_refract[..., None], wi_refr, wi_mirror)

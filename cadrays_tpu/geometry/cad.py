@@ -20,6 +20,7 @@ OBJ/PLY/STL/glTF) rather than failing deep in the pipeline.
 """
 from __future__ import annotations
 
+import warnings
 from typing import Callable, List, Optional
 
 from cadrays_tpu.geometry.mesh import TriangleMesh
@@ -117,11 +118,15 @@ def load_cad(path: str, deflection: float = 0.0) -> List[TriangleMesh]:
     user-registered or pythonocc backend, when present, takes priority
     (useful for exotic entity mixes the native reader doesn't cover)."""
     backend = _TESSELLATOR or _try_occ_backend()
+    backend_err: Optional[Exception] = None
     if backend is not None:
         try:
             return backend(path, deflection if deflection > 0 else 0.01)
-        except Exception:
-            pass  # fall through to the native readers
+        except Exception as exc:  # fall through to the native readers
+            backend_err = exc
+            warnings.warn(
+                f"registered CAD backend failed on {path!r}: {exc!r}; "
+                "falling back to the native reader", stacklevel=2)
     low = path.lower()
     if low.endswith((".step", ".stp")):
         from cadrays_tpu.geometry.step import load_step
@@ -131,9 +136,15 @@ def load_cad(path: str, deflection: float = 0.0) -> List[TriangleMesh]:
         from cadrays_tpu.geometry.iges import load_iges
 
         return load_iges(path, deflection)
+    if low.endswith(".brep"):
+        from cadrays_tpu.geometry.brep import load_brep
+
+        return load_brep(path, deflection)
+    if backend_err is not None:
+        raise RuntimeError(
+            f"CAD backend failed on {path!r}: {backend_err}") from backend_err
     raise RuntimeError(
         f"no CAD tessellation backend available for {path!r}. "
-        "STEP/IGES are native; BREP (OCCT's own serialization) needs a "
-        "CAD kernel (install pythonocc-core, or register one with "
-        "cadrays_tpu.geometry.cad.register_tessellator); "
+        "STEP/IGES/BREP are native; other CAD kernels can be plugged via "
+        "cadrays_tpu.geometry.cad.register_tessellator; "
         "OBJ/PLY/STL/glTF import is native (rtmeshread).")

@@ -512,8 +512,9 @@ def _merge_parts(parts) -> Optional[TriangleMesh]:
         ranges.append((t_off, t_off + len(t)))
         v_off += len(v)
         t_off += len(t)
-    # normalize uvs into [0,1] per part for texturing parity with
-    # DataNode::Parameterize (reference generates per-face UVs w/ scale)
+    # UVs are the raw surface parameters of each face; per-part [0,1]
+    # normalization (DataNode::Parameterize parity) happens at texture
+    # attach time via parameterize_mesh (geometry/parameterize.py).
     uv = np.vstack(U)
     mesh = TriangleMesh(np.vstack(V), np.vstack(T),
                         normals=np.vstack(N), uvs=uv.astype(np.float32))
@@ -525,7 +526,15 @@ def _faces_of_shell(model: StepModel, shell_ref) -> List[Entity]:
     shell = model.get(shell_ref)
     if shell is None:
         return []
-    if shell.type in ("CLOSED_SHELL", "OPEN_SHELL", "ORIENTED_CLOSED_SHELL"):
+    if shell.type in ("ORIENTED_CLOSED_SHELL", "ORIENTED_OPEN_SHELL"):
+        # (name, shell_element: Ref, orientation) — wraps the real shell
+        # (written by OCCT for BREP_WITH_VOIDS void shells). The element
+        # ref is the first Ref argument whichever slot it lands in.
+        for a in shell.args[1:]:
+            if isinstance(a, Ref):
+                return _faces_of_shell(model, a)
+        return []
+    if shell.type in ("CLOSED_SHELL", "OPEN_SHELL"):
         refs = shell.args[1]
         out = []
         for r in refs:
@@ -614,13 +623,25 @@ def load_step(path: str, deflection: float = 0.0,
     if not meshes:
         raise ValueError(
             f"{path}: no tessellatable B-rep found "
-            f"({len(entities)} entities parsed)")
+            f"({len(entities)} entities parsed). The native STEP reader "
+            "covers AP203/AP214 analytic + NURBS B-rep and AP242 "
+            "tessellated entities; for exotic entity mixes register a CAD "
+            "tessellation backend via "
+            "cadrays_tpu.geometry.cad.register_tessellator.")
     return meshes
 
 
 def _auto_deflection(model: StepModel, groups) -> float:
-    pts = [model.point(Ref(e.id)) for e in model.e.values()
-           if e.type == "CARTESIAN_POINT"][:20000]
+    # STEP files routinely mix 3D points with 2D pcurve points
+    # (DEFINITIONAL_REPRESENTATION geometry) — keep only the 3D ones.
+    pts = []
+    for e in model.e.values():
+        if e.type == "CARTESIAN_POINT":
+            p = model.point(Ref(e.id))
+            if p.shape == (3,):
+                pts.append(p)
+            if len(pts) >= 20000:
+                break
     if not pts:
         return 0.01
     arr = np.stack(pts)

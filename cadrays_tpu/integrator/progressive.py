@@ -46,19 +46,26 @@ class ProgressiveState:
 
 def state_fingerprint(scene: SceneData, camera: Camera,
                       params: RenderParams, width: int, height: int) -> str:
-    """Cheap content hash of everything that invalidates accumulation."""
+    """Cheap hash of everything that invalidates accumulation.
+
+    Camera and params are hashed in full (they're tiny). The scene keys on
+    its mutation counter (`SceneData.version`, stamped by Scene.flatten on
+    every edit) plus array shapes; strided content sampling is NOT used —
+    it can miss edits landing between strides. Unstamped snapshots
+    (version < 0, e.g. hand-built SceneData) fall back to a full content
+    hash, which is exact but costs a device->host pull per frame.
+    """
     h = hashlib.sha1()
     h.update(f"{width}x{height}|{params.mode}|{params.ray_depth}|"
              f"{params.adaptive}".encode())
     for leaf in jax.tree.leaves((camera, params)):
         h.update(np.asarray(leaf).tobytes())
-    # Scene identity: hash shapes + a strided subsample of the big arrays
-    # (full geometry hashing would stall the host on every frame).
+    h.update(f"v{scene.version}".encode())
     for leaf in jax.tree.leaves(scene):
         a = np.asarray(leaf)
         h.update(str(a.shape).encode())
-        flat = a.reshape(-1)
-        h.update(flat[:: max(1, flat.size // 256)].tobytes())
+        if scene.version < 0:
+            h.update(a.tobytes())
     return h.hexdigest()
 
 

@@ -115,6 +115,12 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
                                        res["tri"])
         hit = h["hit"] & state["alive"]
         miss = (~h["hit"]) & state["alive"]
+        if not params.two_sided:
+            # One-sided BSDFs (SettingsWidget.cxx:328-334): a backface hit
+            # on a non-transmissive material absorbs the path (black).
+            # Transmissive materials keep both sides so refraction can
+            # exit the medium.
+            hit = hit & (h["front"] | (vm.luminance(mat.kt) > 0.0))
 
         # Beer-Lambert absorption through the current medium.
         seg = jnp.where(h["hit"], h["t"], 0.0)
@@ -253,7 +259,7 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
 
         # ---- BSDF sampling ---------------------------------------------
         u = jnp.stack(rng4(state["pix"], bounce, _DIM_BSDF), axis=-1)
-        bs = sample_bsdf(mat, wo, n, u)
+        bs = sample_bsdf(mat, wo, n, u, front=h["front"])
         new_dir = bs["wi"]
         new_origin = offset_ray_origin(h["position"], h["n_geom"], new_dir)
         throughput_next = throughput * bs["weight"]

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from cadrays_tpu.core import vecmath as vm
-from cadrays_tpu.core.bsdf import eval_bsdf
+from cadrays_tpu.core.bsdf import absorption_sigma, dielectric_split, eval_bsdf
 from cadrays_tpu.core.camera import Camera
 from cadrays_tpu.core.fresnel import eval_fresnel
 from cadrays_tpu.core.lights import LIGHT_DIRECTIONAL
@@ -80,6 +80,7 @@ def render_whitted(scene: SceneData, camera: Camera, params: RenderParams,
         throughput=jnp.ones((R, 3), jnp.float32),
         radiance=jnp.zeros((R, 3), jnp.float32),
         alive=jnp.ones((R,), bool),
+        sigma=jnp.zeros((R, 3), jnp.float32),  # Beer-Lambert extinction
     )
     depth = params.ray_depth if params.rt_reflections else 1
 
@@ -89,7 +90,9 @@ def render_whitted(scene: SceneData, camera: Camera, params: RenderParams,
         h = hit_attributes(scene.geometry, o, d, res["tri"])
         hit = h["hit"] & state["alive"]
         miss = (~h["hit"]) & state["alive"]
-        throughput = state["throughput"]
+        seg = jnp.where(h["hit"], h["t"], 0.0)
+        throughput = state["throughput"] * jnp.exp(
+            -state["sigma"] * seg[..., None])
         radiance = state["radiance"]
 
         if scene.envmap.enabled and scene.envmap.background:
@@ -105,26 +108,57 @@ def render_whitted(scene: SceneData, camera: Camera, params: RenderParams,
         tex = sample_texture(scene.textures, mat.tex_id, h["uv"], mat.uv_scale)
         mat = mat.replace(kd=mat.kd * tex)
         wo = -d
+        transmissive = vm.luminance(mat.kt) > 1e-3
+        if not params.two_sided:
+            # One-sided BSDFs: opaque backfaces absorb (black).
+            hit = hit & (h["front"] | transmissive)
 
         direct = _direct_lighting(scene, h, wo, mat, params,
                                   shadows=params.rt_shadows)
         radiance = radiance + jnp.where(hit[..., None],
                                         throughput * (direct + mat.le), 0.0)
 
-        # Mirror bounce weighted by Ks * Fresnel.
+        # One secondary ray per lane: reflection (Ks * base Fresnel) or —
+        # for transmissive materials — dielectric refraction with
+        # Fresnel-split transmittance (SettingsWidget.cxx:575-607: RT mode
+        # handles transparency). The stronger branch is followed; a tree
+        # of both branches is hostile to the lockstep wavefront.
         n = h["n_shade"]
         cos_o = jnp.clip(vm.dot(wo, n), 1e-6, 1.0)
         fb = eval_fresnel(mat.base_ftype, mat.base_fparams, cos_o)
-        refl = mat.ks * fb
-        new_dir = vm.normalize(vm.reflect(d, n))
-        alive = hit & (vm.luminance(refl) > 1e-3) if params.rt_reflections \
+        w_refl = mat.ks * fb
+        dir_refl = vm.normalize(vm.reflect(d, n))
+
+        f_d, dir_refr, tir = dielectric_split(mat.eta, wo, n, h["front"])
+        dir_refr = vm.normalize(dir_refr)
+        w_refr = mat.kt * (1.0 - f_d)[..., None]
+        # TIR: fall back to a mirror ray at full strength.
+        w_refr = jnp.where(tir[..., None], jnp.ones_like(w_refr), w_refr)
+        dir_refr = jnp.where(tir[..., None], dir_refl, dir_refr)
+
+        take_refr = transmissive & (vm.luminance(w_refr) >=
+                                    vm.luminance(w_refl))
+        new_dir = jnp.where(take_refr[..., None], dir_refr, dir_refl)
+        weight = jnp.where(take_refr[..., None], w_refr, w_refl)
+
+        # Medium tracking across a refraction (not on TIR reflections).
+        crossed = take_refr & (~tir)
+        sig_mat = absorption_sigma(mat)
+        sigma = state["sigma"]
+        sigma = jnp.where((crossed & h["front"])[..., None], sig_mat, sigma)
+        sigma = jnp.where((crossed & ~h["front"])[..., None], 0.0, sigma)
+
+        # Refracted rays must start on the far side of the surface.
+        off_n = jnp.where(crossed[..., None], -h["n_geom"], h["n_geom"])
+        alive = hit & (vm.luminance(weight) > 1e-3) if params.rt_reflections \
             else jnp.zeros((R,), bool)
         return dict(
-            origin=offset_ray_origin(h["position"], h["n_geom"], new_dir),
+            origin=offset_ray_origin(h["position"], off_n, new_dir),
             direction=new_dir,
-            throughput=jnp.where(alive[..., None], throughput * refl, 0.0),
+            throughput=jnp.where(alive[..., None], throughput * weight, 0.0),
             radiance=radiance,
             alive=alive,
+            sigma=sigma,
         ), None
 
     state, _ = jax.lax.scan(step, state, jnp.arange(depth), length=depth)

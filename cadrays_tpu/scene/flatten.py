@@ -150,6 +150,10 @@ class SceneData:
     envmap: EnvMapData
     emissive: EmissiveData
     textures: TextureAtlas
+    # Scene mutation counter (stamped by Scene.flatten): accumulation
+    # restart keys on it instead of hashing geometry content per frame.
+    # -1 = unstamped snapshot -> fingerprint falls back to content hash.
+    version: int = flax.struct.field(pytree_node=False, default=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -47,10 +47,12 @@ class Scene:
         self.camera: Camera = Camera.look_at()
         self._dirty = True
         self._cache: Optional[SceneData] = None
+        self._version = 0  # bumped on every mutation (restart fingerprint)
 
     # -- mutation helpers --------------------------------------------------
     def touch(self) -> None:
         self._dirty = True
+        self._version += 1
 
     def add_mesh(self, name: str, mesh: TriangleMesh,
                  mat: Optional[Material] = None,
@@ -199,6 +201,7 @@ class Scene:
                 mat_ids.append(i)
             data = flatten_parts(meshes, mats, mat_ids, lights=lights,
                                  envmap=self._envmap, textures=atlas)
+        data = data.replace(version=self._version)
         self._cache = data
         self._dirty = False
         return self._update_headlights(data, camera)

@@ -1,0 +1,218 @@
+"""Native OCCT .brep reader tests.
+
+Fixtures are generated as genuine "CASCADE Topology" text following the
+documented BREP format (sections Locations/Curve2ds/Curves/Surfaces/
+TShapes, leaf-first TShape records, end-counted subshape references) —
+the same layout BRepTools::Write emits.
+"""
+import math
+
+import numpy as np
+import pytest
+
+from cadrays_tpu.geometry.brep import load_brep, parse_brep
+
+
+class BW:
+    """Tiny .brep text writer. Shape refs count from the END of the
+    TShapes section, so `ref()` converts a file-order record id."""
+
+    def __init__(self):
+        self.locations = []
+        self.curves = []
+        self.surfaces = []
+        self.tshapes = []  # list of text blocks
+
+    def loc(self, R=np.eye(3), t=(0, 0, 0)) -> int:
+        rows = []
+        m = np.concatenate([np.asarray(R, float),
+                            np.asarray(t, float)[:, None]], axis=1)
+        for r in range(3):
+            rows.append(" ".join(f"{v:.17g}" for v in m[r]))
+        self.locations.append("1\n" + "\n".join(rows))
+        return len(self.locations)
+
+    def line(self, p, d) -> int:
+        self.curves.append(
+            "1 " + " ".join(f"{v:.17g}" for v in (*p, *d)))
+        return len(self.curves)
+
+    def circle(self, c, n, x, y, r) -> int:
+        self.curves.append(
+            "2 " + " ".join(f"{v:.17g}" for v in (*c, *n, *x, *y, r)))
+        return len(self.curves)
+
+    def plane(self, p, n, x, y) -> int:
+        self.surfaces.append(
+            "1 " + " ".join(f"{v:.17g}" for v in (*p, *n, *x, *y)))
+        return len(self.surfaces)
+
+    def cylinder(self, p, z, x, y, r) -> int:
+        self.surfaces.append(
+            "2 " + " ".join(f"{v:.17g}" for v in (*p, *z, *x, *y, r)))
+        return len(self.surfaces)
+
+    def vertex(self, p) -> int:
+        """Returns the file-order record id (1-based). Sub-shape
+        references are resolved to end-counted numbers in text()."""
+        self.tshapes.append((
+            "Ve\n1e-07\n" + " ".join(f"{v:.17g}" for v in p)
+            + "\n0 0\n\n0101101\n", []))
+        return len(self.tshapes)
+
+    def edge(self, curve, first, last, loc=0) -> int:
+        self.tshapes.append((
+            f"Ed\n 1e-07 1 1 0\n1  {curve} {loc} {first:.17g} {last:.17g}"
+            "\n0\n\n0101000\n", []))
+        return len(self.tshapes)
+
+    def wire(self, edge_recs) -> int:
+        """edge_recs: list of (record id, orientation +1/-1)."""
+        self.tshapes.append(("Wi\n\n0101100\n",
+                             [(r, o, 0) for r, o in edge_recs]))
+        return len(self.tshapes)
+
+    def face(self, surface, wire_recs, natural=0, loc=0) -> int:
+        self.tshapes.append((
+            f"Fa\n{natural}  1e-07 {surface} {loc}\n\n0101000\n",
+            [(r, 1, 0) for r in wire_recs]))
+        return len(self.tshapes)
+
+    def compound(self, child_recs_locs) -> int:
+        self.tshapes.append(("Co\n\n1100000\n",
+                             [(r, 1, lo) for r, lo in child_recs_locs]))
+        return len(self.tshapes)
+
+    def text(self, root_rec=None) -> str:
+        n = len(self.tshapes)
+        ref = lambda rec: n - rec + 1  # end-counted reference
+        root = ref(root_rec) if root_rec else 1
+        tshape_blocks = []
+        for body, subs in self.tshapes:
+            s = " ".join(
+                f"{'+' if o > 0 else '-'}{ref(r)} {lo}"
+                for r, o, lo in subs)
+            tshape_blocks.append(body + (s + " *" if s else "*"))
+        out = ["DBRep_DrawableShape", "",
+               "CASCADE Topology V1, (c) Matra-Datavision",
+               f"Locations {len(self.locations)}"]
+        out += self.locations
+        out += ["Curve2ds 0", f"Curves {len(self.curves)}"]
+        out += self.curves
+        out += ["Polygon3D 0", "PolygonOnTriangulations 0",
+                f"Surfaces {len(self.surfaces)}"]
+        out += self.surfaces
+        out += ["Triangulations 0", "",
+                f"TShapes {len(self.tshapes)}"]
+        out += tshape_blocks
+        out += ["", f"+{root} 0", ""]
+        return "\n".join(out)
+
+
+def _rect_face(w: BW, size=2.0):
+    """Planar rectangle [0,size]^2 in z=0 bounded by a 4-edge wire."""
+    s = w.plane((0, 0, 0), (0, 0, 1), (1, 0, 0), (0, 1, 0))
+    corners = [(0, 0, 0), (size, 0, 0), (size, size, 0), (0, size, 0)]
+    for p in corners:
+        w.vertex(p)
+    edges = []
+    for k in range(4):
+        a = np.array(corners[k], float)
+        b = np.array(corners[(k + 1) % 4], float)
+        c = w.line(a, b - a)
+        edges.append(w.edge(c, 0.0, 1.0))
+    wi = w.wire([(e, 1) for e in edges])
+    return w.face(s, [wi])
+
+
+def _area(m):
+    return 0.5 * np.linalg.norm(np.cross(
+        m.vertices[m.indices[:, 1]] - m.vertices[m.indices[:, 0]],
+        m.vertices[m.indices[:, 2]] - m.vertices[m.indices[:, 0]]),
+        axis=-1).sum()
+
+
+class TestParse:
+    def test_sections(self, tmp_path):
+        w = BW()
+        _rect_face(w)
+        model = parse_brep(w.text())
+        assert len(model.surfaces) == 1
+        assert len(model.curves) == 4
+        kinds = [s.kind for s in model.shapes]
+        assert kinds.count("Ve") == 4
+        assert kinds.count("Ed") == 4
+        assert kinds[-1] == "Fa"
+        assert model.root == 1
+
+    def test_not_brep_error(self, tmp_path):
+        p = tmp_path / "x.brep"
+        p.write_text("garbage\n")
+        with pytest.raises(ValueError, match="CASCADE Topology"):
+            load_brep(str(p))
+
+
+class TestFaces:
+    def test_planar_rectangle(self, tmp_path):
+        w = BW()
+        fa = _rect_face(w, size=2.0)
+        p = tmp_path / "rect.brep"
+        p.write_text(w.text(fa))
+        meshes = load_brep(str(p))
+        assert len(meshes) == 1
+        assert _area(meshes[0]) == pytest.approx(4.0, rel=1e-3)
+
+    def test_compound_with_location(self, tmp_path):
+        """Compound of two rectangles, one moved by a Location."""
+        w = BW()
+        fa = _rect_face(w, size=1.0)
+        lo = w.loc(t=(5.0, 0.0, 0.0))
+        co = w.compound([(fa, 0), (fa, lo)])
+        p = tmp_path / "co.brep"
+        p.write_text(w.text(co))
+        meshes = load_brep(str(p))
+        assert len(meshes) == 2
+        xs = sorted(m.vertices[:, 0].min() for m in meshes)
+        assert xs[0] == pytest.approx(0.0, abs=1e-6)
+        assert xs[1] == pytest.approx(5.0, abs=1e-6)
+
+    def test_half_cylinder_face(self, tmp_path):
+        """Half-cylinder band: two circular arcs + two seam lines, the
+        same 4-edge wire OCCT builds for a trimmed cylindrical face."""
+        w = BW()
+        s = w.cylinder((0, 0, 0), (0, 0, 1), (1, 0, 0), (0, 1, 0), 1.0)
+        for p3 in [(1, 0, 0), (-1, 0, 0), (-1, 0, 2), (1, 0, 2)]:
+            w.vertex(p3)
+        c0 = w.circle((0, 0, 0), (0, 0, 1), (1, 0, 0), (0, 1, 0), 1.0)
+        c1 = w.circle((0, 0, 2), (0, 0, 1), (1, 0, 0), (0, 1, 0), 1.0)
+        lseam = w.line((-1, 0, 0), (0, 0, 1))
+        rseam = w.line((1, 0, 0), (0, 0, 1))
+        e_bot = w.edge(c0, 0.0, math.pi)
+        e_l = w.edge(lseam, 0.0, 2.0)
+        e_top = w.edge(c1, 0.0, math.pi)
+        e_r = w.edge(rseam, 0.0, 2.0)
+        wi = w.wire([(e_bot, 1), (e_l, 1), (e_top, -1), (e_r, -1)])
+        fa = w.face(s, [wi])
+        p = tmp_path / "cyl.brep"
+        p.write_text(w.text(fa))
+        meshes = load_brep(str(p), deflection=0.005)
+        m = meshes[0]
+        r = np.linalg.norm(m.vertices[:, :2], axis=-1)
+        assert np.allclose(r, 1.0, atol=0.01)
+        assert _area(m) == pytest.approx(math.pi * 2.0, rel=2e-2)
+
+
+class TestCommandSurface:
+    def test_restore_brep(self, tmp_path):
+        from cadrays_tpu.cli.commands import Console, Session
+
+        w = BW()
+        fa = _rect_face(w)
+        p = tmp_path / "part.brep"
+        p.write_text(w.text(fa))
+        sess = Session()
+        c = Console(sess)
+        c.exec(f"restore {p} part")
+        assert "part" in sess.staging
+        c.exec("vdisplay part")
+        assert sess.scene.model.get("part") is not None

@@ -224,6 +224,48 @@ class TestProgressive:
                                samples_per_step=1)
         assert int(st3.spp) == 1
 
+    def test_scene_edit_restarts_via_mutation_counter(self):
+        """Any scene edit (however small) restarts accumulation: the
+        fingerprint keys on Scene's mutation counter, not on a content
+        subsample that an edit could slip past (round-1 weak #6)."""
+        from cadrays_tpu.integrator.progressive import progressive_step
+
+        scene = Scene()
+        scene.add_mesh("s", primitives.sphere(1.0, 8, 4),
+                       material(kd=(0.5, 0.5, 0.5)))
+        cam = Camera.look_at(eye=(0, -4, 0), at=(0, 0, 0), up=(0, 0, 1))
+        params = RenderParams(ray_depth=2)
+        st = progressive_step(scene.flatten(cam), cam, params, RES, RES,
+                              None, samples_per_step=2)
+        assert int(st.spp) == 2
+        # unchanged scene accumulates
+        st = progressive_step(scene.flatten(cam), cam, params, RES, RES,
+                              st, samples_per_step=1)
+        assert int(st.spp) == 3
+        # a tiny material edit must restart
+        scene.set_material("s", material(kd=(0.500001, 0.5, 0.5)))
+        st = progressive_step(scene.flatten(cam), cam, params, RES, RES,
+                              st, samples_per_step=1)
+        assert int(st.spp) == 1
+
+    def test_two_sided_toggle(self):
+        """two_sided=False blacks out backfaces of opaque materials
+        (SettingsWidget.cxx:328-334); True (default) shades them."""
+        # single quad with +z normal; camera on the -z side sees its BACK
+        scene = Scene()
+        scene.clear_lights()
+        scene.add_mesh("q", primitives.quad(2.0, 2.0),
+                       material(kd=(0.8, 0.8, 0.8)))
+        env = np.ones((8, 16, 3), np.float32)
+        scene.set_envmap(env, intensity=1.0, background=False)
+        cam = Camera.look_at(eye=(0, 0, -5), at=(0, 0, 0), up=(0, 1, 0),
+                             fovy_deg=30.0)
+        lit = _render(scene, cam, spp=16, ray_depth=2, two_sided=True)
+        dark = _render(scene, cam, spp=16, ray_depth=2, two_sided=False)
+        c = slice(RES // 2 - 3, RES // 2 + 3)
+        assert lit[c, c].mean() > 0.1
+        assert dark[c, c].mean() == 0.0
+
     def test_progressive_matches_batch(self, cornell_scene, cornell_camera):
         from cadrays_tpu.integrator.progressive import progressive_step
 

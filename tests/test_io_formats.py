@@ -97,13 +97,16 @@ class TestGltf:
 
 
 class TestCadGate:
-    def test_missing_backend_error(self, tmp_path):
+    def test_garbage_step_error(self, tmp_path):
+        """A syntactically empty STEP file fails with an actionable
+        CommandError (not a deep traceback)."""
         from cadrays_tpu.cli.commands import CommandError, Console, Session
 
         p = tmp_path / "part.step"
         p.write_text("ISO-10303-21;")
         c = Console(Session())
-        with pytest.raises(CommandError, match="tessellation backend"):
+        with pytest.raises(CommandError,
+                           match="no tessellatable B-rep"):
             c.exec(f"rtmeshread {p}")
 
     def test_custom_tessellator(self, tmp_path):
