@@ -7,9 +7,16 @@ Prints ONE JSON line:
 Ray accounting: the wavefront integrator issues, per pixel per sample per
 bounce, 1 closest-hit query + 1 shadow query per active NEE strategy
 (analytic light / emissive / env). We report *issued ray queries per
-second* — the same convention every round, so vs_baseline tracks real
-progress. The stored baseline (bench_baseline.json) is round 1's number;
-update it when the kernel gets faster to keep the ratio honest.
+second*.
+
+Timing: on the axon-tunneled TPU, `block_until_ready` does NOT
+synchronize and every host readback costs ~25 ms of tunnel latency, so
+per-call wall timing is meaningless (round 1's number was polluted by
+it). This bench therefore runs the whole sample loop ON DEVICE (one jit,
+`lax.fori_loop` over sample ids, radiance accumulated into a scalar) and
+times two loop lengths with a forced scalar readback each; the
+per-sample cost is the slope, which cancels tunnel latency, dispatch and
+upload costs exactly.
 """
 from __future__ import annotations
 
@@ -25,7 +32,8 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=1024)
-    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--spp", type=int, default=8,
+                    help="samples for the long timing loop")
     ap.add_argument("--depth", type=int, default=5)
     ap.add_argument("--chunks", type=int, default=4,
                     help="pixel chunks per pass (bwd memory)")
@@ -53,50 +61,56 @@ def main() -> None:
     total = W * H
     n_chunks = args.chunks
     chunk = total // n_chunks
-    pixel_sets = [
+    pixel_sets = jnp.stack([
         jnp.arange(i * chunk, (i + 1) * chunk, dtype=jnp.int32)
         for i in range(n_chunks)
-    ]
+    ])
 
     # per pixel-sample-bounce: 1 closest + 1 NEE shadow (positional light;
     # no env, no emissive tris in this scene).
     queries_per_sample = args.depth * 2
 
-    @jax.jit
-    def fwd(scene_, pids, sid):
-        return render_sample(scene_, cam, params, W, H, sid, pixel_ids=pids)
+    fwd_only = args.fwd_only
 
-    @jax.jit
-    def fwd_bwd(scene_, pids, sid):
-        def loss_fn(s):
-            img = render_sample(s, cam, params, W, H, sid, pixel_ids=pids)
-            return l2_image_loss(img, jnp.zeros_like(img))
+    def one_sample(sid, acc):
+        def chunk_body(i, a):
+            pids = pixel_sets[i]
+            if fwd_only:
+                img = render_sample(data, cam, params, W, H, sid,
+                                    pixel_ids=pids)
+                return a + jnp.sum(img)
+            def loss_fn(s):
+                img = render_sample(s, cam, params, W, H, sid,
+                                    pixel_ids=pids)
+                return l2_image_loss(img, jnp.zeros_like(img))
+            loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(data)
+            return a + loss + jnp.sum(grads.materials.kd)
+        return jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
 
-        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(scene_)
-        return loss, grads.materials.kd
+    def make_loop(n):
+        @jax.jit
+        def run():
+            def body(s, acc):
+                return one_sample(jnp.uint32(s + 1), acc)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+        return run
 
-    step = fwd if args.fwd_only else fwd_bwd
+    def timed(f):
+        float(f())  # compile + warm (upload flushes here)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f())
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    # warmup/compile
-    out = step(data, pixel_sets[0], jnp.uint32(0))
-    jax.block_until_ready(out)
+    n_lo, n_hi = 1, max(args.spp, 2)
+    t_lo = timed(make_loop(n_lo))
+    t_hi = timed(make_loop(n_hi))
+    per_sample = (t_hi - t_lo) / (n_hi - n_lo)
 
-    def one_pass(sid0):
-        outs = []
-        for i, pids in enumerate(pixel_sets):
-            outs.append(step(data, pids, jnp.uint32(sid0)))
-        jax.block_until_ready(outs)
-
-    times = []
-    for rep in range(3):
-        t0 = time.perf_counter()
-        for s in range(args.spp):
-            one_pass(rep * args.spp + s + 1)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-
-    rays = total * args.spp * queries_per_sample
-    rays_per_s = rays / dt
+    rays = total * queries_per_sample
+    rays_per_s = rays / max(per_sample, 1e-9)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")

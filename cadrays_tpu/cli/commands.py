@@ -38,6 +38,9 @@ from cadrays_tpu.geometry import primitives
 from cadrays_tpu.geometry.mesh import TriangleMesh
 from cadrays_tpu.integrator.params import RenderMode, RenderParams
 from cadrays_tpu.scene.materials import preset, preset_names
+from cadrays_tpu.cli.modeling import ModelingMixin
+from cadrays_tpu.modeling.topo import Shape as ModelingShape
+from cadrays_tpu.modeling.topo import to_triangle_mesh
 from cadrays_tpu.scene.model import DataNode, NodeType
 from cadrays_tpu.scene.scene import Scene
 
@@ -115,7 +118,10 @@ class Session:
         self.height = 512
         # staging area: modeling commands create meshes here; vdisplay
         # moves them into the scene (DRAW's shape map -> AIS display).
-        self.staging: Dict[str, tuple] = {}  # name -> (mesh, NodeType)
+        self.staging: Dict[str, tuple] = {}  # name -> (mesh|Shape, NodeType)
+        self.vars: Dict[str, float] = {}  # DRAW numeric variables (dset)
+        self.sweep = None  # mksweep pipeline state
+        self.bop_operands = None
         self.progressive = None
         self.cwd = os.getcwd()
 
@@ -123,7 +129,7 @@ class Session:
         return path if os.path.isabs(path) else os.path.join(self.cwd, path)
 
 
-class Console:
+class Console(ModelingMixin):
     """Command interpreter over a Session (AppConsole analogue)."""
 
     def __init__(self, session: Optional[Session] = None):
@@ -180,28 +186,9 @@ class Console:
     # =======================================================================
     # modeling commands (DRAW kernel analogues)
     # =======================================================================
-    def cmd_box(self, args):
-        name = args[0]
-        d = [float(x) for x in args[1:4]]
-        self.session.staging[name] = (primitives.box(*d), NodeType.CAD_SHAPE)
-        return ""
-
     def cmd_psphere(self, args):
         name, r = args[0], float(args[1])
         self.session.staging[name] = (primitives.sphere(r, 64, 32),
-                                      NodeType.CAD_SHAPE)
-        return ""
-
-    def cmd_pcylinder(self, args):
-        name, r, h = args[0], float(args[1]), float(args[2])
-        self.session.staging[name] = (primitives.cylinder(r, h),
-                                      NodeType.CAD_SHAPE)
-        return ""
-
-    def cmd_pcone(self, args):
-        name = args[0]
-        vals = [float(x) for x in args[1:4]]
-        self.session.staging[name] = (primitives.cone(*vals),
                                       NodeType.CAD_SHAPE)
         return ""
 
@@ -219,6 +206,9 @@ class Console:
         if staged is None:
             raise CommandError(f"no staged shape '{name}'")
         mesh, ntype = staged
+        if isinstance(mesh, ModelingShape):
+            return self._explode_shape(
+                name, mesh, args[1] if len(args) > 1 else None)
         typed = len(args) > 1
         # un-typed explode on a compound -> its recorded sub-shapes
         # (DRAW compound semantics, Materials.tcl:22-23); box faces
@@ -245,21 +235,17 @@ class Console:
             self.session.staging[f"{name}_{i + 1}"] = (p, ntype)
         return " ".join(f"{name}_{i + 1}" for i in range(len(parts)))
 
-    def cmd_wedge(self, args):
-        """wedge name dx dy dz ltx (DRAW solid kernel)."""
-        name = args[0]
-        vals = [float(x) for x in args[1:5]]
-        self.session.staging[name] = (primitives.wedge(*vals),
-                                      NodeType.CAD_SHAPE)
-        return ""
-
     def _affine(self, name: str, m: np.ndarray,
                 flip_winding: bool = False) -> None:
-        """Apply a 4x4 transform to a staged shape (baked into vertices,
-        DRAW t* semantics) or to a displayed node's instance transform."""
+        """Apply a 4x4 transform: modeling shapes compose their location
+        (so DRAW `reset` can undo it); legacy meshes bake into vertices;
+        displayed nodes update their instance transform."""
         staged = self.session.staging.get(name)
         if staged is not None:
             mesh, t = staged
+            if isinstance(mesh, ModelingShape):
+                mesh.apply_loc(np.asarray(m, np.float64))
+                return
             mesh = mesh.transformed(m)
             if flip_winding:
                 mesh.indices = mesh.indices[:, [0, 2, 1]].copy()
@@ -271,7 +257,7 @@ class Console:
 
     def cmd_ttranslate(self, args):
         name = args[0]
-        v = [float(x) for x in args[1:4]]
+        v = self._nums(args[1:4])
         self._affine(name, _translate(v))
         return ""
 
@@ -279,7 +265,7 @@ class Console:
         """trotate name x y z dx dy dz angle — rotate about an axis
         through a point (DRAW transform commands used by Shape.tcl)."""
         name = args[0]
-        vals = [float(x) for x in args[1:8]]
+        vals = self._nums(args[1:8])
         p, axis, ang = vals[0:3], vals[3:6], vals[6]
         m = (_translate(p) @ _axis_angle(axis, ang)
              @ _translate([-p[0], -p[1], -p[2]]))
@@ -289,7 +275,7 @@ class Console:
     def cmd_tscale(self, args):
         """tscale name x y z factor — scale about a point."""
         name = args[0]
-        vals = [float(x) for x in args[1:5]]
+        vals = self._nums(args[1:5])
         p, s = vals[0:3], vals[3]
         m = _translate(p) @ np.diag([s, s, s, 1.0]).astype(np.float32) \
             @ _translate([-p[0], -p[1], -p[2]])
@@ -301,7 +287,7 @@ class Console:
         point (x,y,z) and normal (dx,dy,dz); winding is flipped so faces
         stay outward."""
         name = args[0]
-        vals = [float(x) for x in args[1:7]]
+        vals = self._nums(args[1:7])
         p = np.asarray(vals[0:3], np.float64)
         n = np.asarray(vals[3:6], np.float64)
         ln = np.linalg.norm(n)
@@ -326,6 +312,18 @@ class Console:
                 raise CommandError(f"no staged shape '{s}'")
             meshes.append(staged[0])
             ntype = staged[1]
+        if any(isinstance(m, ModelingShape) for m in meshes):
+            from cadrays_tpu.modeling.topo import (CompoundShape,
+                                                   SolidShape)
+            parts = []
+            for m in meshes:
+                if isinstance(m, ModelingShape):
+                    parts.append(m.copy())
+                else:
+                    parts.append(SolidShape(
+                        np.asarray(m.vertices, np.float64), m.indices))
+            self.session.staging[dst] = (CompoundShape(parts), ntype)
+            return ""
         merged = TriangleMesh.merge(meshes)
         ranges, t0 = [], 0
         for m in meshes:
@@ -342,6 +340,9 @@ class Console:
         if staged is None:
             raise CommandError(f"no staged shape '{src}'")
         mesh, t = staged
+        if isinstance(mesh, ModelingShape):
+            self.session.staging[dst] = (mesh.copy(), t)
+            return ""
         self.session.staging[dst] = (TriangleMesh(
             mesh.vertices.copy(), mesh.indices.copy(),
             None if mesh.normals is None else mesh.normals.copy(),
@@ -383,8 +384,9 @@ class Console:
     # display / scene commands
     # =======================================================================
     def cmd_vclear(self, args):
+        # Clears the *viewer* only — DRAW variables survive (the modeling
+        # scripts do `vclear; vdisplay result`, Bottle.tcl:97-98).
         self.session.scene.clear()
-        self.session.staging.clear()
         return ""
 
     def cmd_vdisplay(self, args):
@@ -399,6 +401,11 @@ class Console:
             if staged is None:
                 raise CommandError(f"nothing named '{name}' to display")
             mesh, ntype = staged
+            if isinstance(mesh, ModelingShape):
+                try:
+                    mesh = to_triangle_mesh(mesh)
+                except (ValueError, TypeError):
+                    continue  # wires/curves have no render surface
             sc.add_mesh(name, mesh, preset("default"), node_type=ntype)
         return ""
 
@@ -713,7 +720,7 @@ class Console:
         lo, hi = self._scene_bounds()
         center = (lo + hi) / 2
         radius = float(np.linalg.norm(hi - lo)) / 2 + 1e-6
-        d = np.asarray(direction, np.float32)
+        d = np.array(direction, np.float32)  # copy: jax arrays are read-only
         d /= np.linalg.norm(d)
         fov = float(self.session.camera.fovy_deg)
         dist = radius / math.tan(math.radians(fov) / 2) * 1.2

@@ -200,10 +200,19 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
             cos_i = jnp.clip(vm.dot(ls["wi"], n), 0.0, 1.0)
             vis_need = hit & ls["valid"] & (cos_i > 0.0)
             contrib = ls["contrib"] * f * (cos_i * scene.lights.count)[..., None]
+            # Positional-light shadow rays are traced FROM the light
+            # toward the surface: occlusion is symmetric, and a shared
+            # origin makes the packet walk the tree like primary rays
+            # (~90x faster than incoherent surface-origin rays on the
+            # packet kernels). Directional lights have no finite origin.
+            rev = (ls["dist"] < 1e29)[..., None]
+            lpt = h["position"] + ls["wi"] * ls["dist"][..., None]
+            o_sh = jnp.where(
+                rev, lpt,
+                offset_ray_origin(h["position"], h["n_geom"], ls["wi"]))
+            d_sh = jnp.where(rev, -ls["wi"], ls["wi"])
             nee_contribs.append((
-                vis_need, contrib,
-                offset_ray_origin(h["position"], h["n_geom"], ls["wi"]),
-                ls["wi"],
+                vis_need, contrib, o_sh, d_sh,
                 jnp.where(vis_need, ls["dist"] * (1.0 - 1e-4), 0.0)))
 
         if has_emissive:
@@ -218,10 +227,11 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
             contrib = em["le"] * f * (
                 cos_i * w_mis / jnp.maximum(pdf_sa_det, 1e-12)
             )[..., None]
+            # Reversed like the positional lights: trace from the emitter
+            # point (offset off its surface) toward the receiver.
+            o_em = offset_ray_origin(em["point"], em["n_l"], -em["wi"])
             nee_contribs.append((
-                vis_need, contrib,
-                offset_ray_origin(h["position"], h["n_geom"], em["wi"]),
-                em["wi"],
+                vis_need, contrib, o_em, -em["wi"],
                 jnp.where(vis_need, em["dist"] * (1.0 - 1e-3), 0.0)))
 
         if has_env:
@@ -303,13 +313,14 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
             # by (direction octant, origin Morton cell) so the next
             # bounce's closest-hit AND shadow packets are coherent; dead
             # lanes sink to tail blocks, which the packet kernels retire
-            # after a single root visit (t_max=0). This replaces per-call
-            # ray sorting — one sort amortized over every trace of the
-            # next bounce. The state is packed into a single matrix so the
-            # permutation is ONE row gather, not one per field (a
-            # per-field tree_map permute measured 9x slower on TPU).
+            # after a single root visit (t_max=0). A/B on bounce-1 rays
+            # (bench/profile notes): unsorted 6.1 M/s, octant|morton
+            # 11.2 M/s, (tri_id|octant) 10.0 M/s — morton wins. The state
+            # is packed into a single matrix so the permutation is ONE
+            # row gather, not one per field (a per-field tree_map permute
+            # measured 9x slower on TPU).
             key = _coherence_key(scene.geometry, new_origin, new_dir)
-            key = jnp.where(alive, key, jnp.int32(1 << 24))
+            key = jnp.where(alive, key, jnp.int32(1 << 30))
             perm = jnp.argsort(key)
             new_state = _unpack_state(_pack_state(new_state)[perm])
         return new_state, None
@@ -420,4 +431,6 @@ def _sample_emissive(scene: SceneData, em_tab, p, u):
         "le": le,
         "pdf_sa": pdf_sa,
         "valid": facing & (em.total_power > 0.0),
+        "point": q,
+        "n_l": n_l,
     }

@@ -111,13 +111,97 @@ def mesh_boolean(va, ta, fa, vb, tb, fb, op: int
 
 def solid_boolean(a: Shape, b: Shape, op: int) -> SolidShape:
     """Boolean of two solids (world space); face ids renumbered so A's
-    faces keep low ids and B's contributing faces follow."""
+    faces keep low ids and B's contributing faces follow.
+
+    Coplanar-overlap retag: where a face of B lies ON a kept face of A
+    (e.g. fusing a thinner pad flush onto a board, Cpu.tcl:22-28), the
+    overlap region gets B's face id — OCCT's fuse splits the face there,
+    and the scripts color those sub-faces individually."""
     va, ta, fa = shape_mesh(a)
     vb, tb, fb = shape_mesh(b)
     v, t, f, owner = mesh_boolean(va, ta, fa, vb, tb, fb, op)
     na = int(fa.max()) + 1 if len(fa) else 0
-    v2, t3, f3 = _weld_with_faces(v, t, f, owner=owner, na=na)
+    f = _retag_coplanar(v, t, f, owner, vb, tb, fb, na)
+    v2, t3, f3 = _weld_with_faces(v, t, f, owner=None, na=na)
     return SolidShape(v2, t3, f3)
+
+
+def _retag_coplanar(v, t, f, owner, vb, tb, fb, na,
+                    tol: float = 1e-6) -> np.ndarray:
+    """Assign B's (offset) face id to A-owned result triangles coplanar
+    with and inside a B face."""
+    f = np.where(owner == 0, f, f + na)
+    if len(t) == 0 or len(tb) == 0:
+        return f
+    scale = max(float(np.max(np.ptp(v, axis=0))), 1e-9)
+    eps = tol * scale
+
+    def tri_planes(verts, tris):
+        n = np.cross(verts[tris[:, 1]] - verts[tris[:, 0]],
+                     verts[tris[:, 2]] - verts[tris[:, 0]])
+        ln = np.linalg.norm(n, axis=1)
+        ok = ln > 1e-20
+        n = n / np.maximum(ln, 1e-20)[:, None]
+        w = np.einsum("ij,ij->i", n, verts[tris[:, 0]])
+        return n, w, ok
+
+    nb, wb, okb = tri_planes(vb, tb)
+    # plane hash for B triangles (sign-canonical)
+    flip = (nb[:, 0] < -1e-12) | ((np.abs(nb[:, 0]) <= 1e-12)
+                                  & (nb[:, 1] < -1e-12)) \
+        | ((np.abs(nb[:, 0]) <= 1e-12) & (np.abs(nb[:, 1]) <= 1e-12)
+           & (nb[:, 2] < 0))
+    nb_c = np.where(flip[:, None], -nb, nb)
+    wb_c = np.where(flip, -wb, wb)
+    keyb = np.round(np.concatenate([nb_c, wb_c[:, None] / scale], axis=1)
+                    / 1e-5).astype(np.int64)
+    from collections import defaultdict
+
+    bmap = defaultdict(list)
+    for i in range(len(tb)):
+        if okb[i]:
+            bmap[tuple(keyb[i])].append(i)
+
+    nr, wr, okr = tri_planes(v, t)
+    flip_r = (nr[:, 0] < -1e-12) | ((np.abs(nr[:, 0]) <= 1e-12)
+                                    & (nr[:, 1] < -1e-12)) \
+        | ((np.abs(nr[:, 0]) <= 1e-12) & (np.abs(nr[:, 1]) <= 1e-12)
+           & (nr[:, 2] < 0))
+    nr_c = np.where(flip_r[:, None], -nr, nr)
+    wr_c = np.where(flip_r, -wr, wr)
+    keyr = np.round(np.concatenate([nr_c, wr_c[:, None] / scale], axis=1)
+                    / 1e-5).astype(np.int64)
+    cents = v[t].mean(axis=1)
+    out = f.copy()
+    # only visit result triangles whose plane actually matches a B plane
+    cand_idx = [i for i in range(len(t))
+                if owner[i] == 0 and okr[i]
+                and tuple(keyr[i]) in bmap]
+    for i in cand_idx:
+        c = cents[i]
+        for j in bmap[tuple(keyr[i])]:
+            p0, p1, p2 = vb[tb[j]]
+            if _point_in_tri_3d(c, p0, p1, p2, eps):
+                out[i] = fb[j] + na
+                break
+    return out
+
+
+def _point_in_tri_3d(p, a, b, c, eps):
+    v0 = c - a
+    v1 = b - a
+    v2 = p - a
+    d00 = v0 @ v0
+    d01 = v0 @ v1
+    d11 = v1 @ v1
+    d20 = v2 @ v0
+    d21 = v2 @ v1
+    den = d00 * d11 - d01 * d01
+    if abs(den) < 1e-30:
+        return False
+    u = (d11 * d20 - d01 * d21) / den
+    w = (d00 * d21 - d01 * d20) / den
+    return u >= -1e-9 and w >= -1e-9 and u + w <= 1 + 1e-9
 
 
 def _weld_with_faces(v, t, f, owner=None, na=0):
@@ -179,6 +263,7 @@ def face_cross_section(verts, tris, face: FaceShape
     """Cross-section clipped to a bounded planar face (DRAW `bsection`)."""
     from matplotlib.path import Path
 
+    face = face.baked()
     chains = cross_section(verts, tris, face.plane)
     outers, holes = face.outer_and_holes()
     paths = [Path(o) for o in outers]
@@ -244,7 +329,9 @@ def _extrude_face_sym(face: FaceShape, h: float
 
 
 def face_boolean(fa: FaceShape, fb: FaceShape, op: int) -> FaceShape:
-    """2D boolean of two coplanar faces; result on fa's plane."""
+    """2D boolean of two coplanar faces; result on fa's world plane."""
+    fa = fa.baked()
+    fb = fb.baked()
     pts = np.concatenate([l for l in fa.loops] + [l for l in fb.loops]) \
         if fa.loops and fb.loops else np.zeros((1, 2))
     scale = max(float(np.max(np.abs(pts))), 1.0)
@@ -253,6 +340,17 @@ def face_boolean(fa: FaceShape, fb: FaceShape, op: int) -> FaceShape:
     vb, tb, ib = _extrude_face_sym(fb, h)
     v, t, f, _ = mesh_boolean(va, ta, ia, vb, tb, ib, op)
     chains = cross_section(v, t, fa.plane)
-    loops = [fa.plane.to_2d(pts) for pts, closed in chains
-             if closed and len(pts) >= 3]
+    # Decimate: BSP fragments leave many collinear points and repeated
+    # 2D booleans (Cutter.tcl's 25-tooth fuse loop) are quadratic in
+    # polygon count. The tolerance is well below tessellation error.
+    from cadrays_tpu.modeling.triangulate import decimate_polyline
+
+    loops = []
+    for pts, closed in chains:
+        if not closed or len(pts) < 3:
+            continue
+        uv = fa.plane.to_2d(pts)
+        span = max(float(np.max(np.ptp(uv, axis=0))), 1e-9)
+        loops.append(decimate_polyline(uv, 2e-5 * scale + 1e-4 * span,
+                                       closed=True))
     return FaceShape(fa.plane, loops)

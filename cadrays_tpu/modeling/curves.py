@@ -316,9 +316,8 @@ class ReversedCurve(Curve):
 
 def arc_through_3_points(p1, p2, p3) -> TrimmedCurve:
     """Circle arc p1 -> p2 -> p3 (DRAW `gcarc name cir p1 p2 p3`,
-    Bottle.tcl:19)."""
-    p1 = np.asarray(p1, np.float64)[:2] if len(p1) > 2 and _planar_z(
-        p1, p2, p3) else np.asarray(p1, np.float64)
+    Bottle.tcl:19). Dimension follows the input points."""
+    p1 = np.asarray(p1, np.float64)
     p2 = np.asarray(p2, np.float64)[: p1.shape[0]]
     p3 = np.asarray(p3, np.float64)[: p1.shape[0]]
     if p1.shape[0] == 2:

@@ -81,10 +81,16 @@ def prism(face: FaceShape, vec) -> SolidShape:
         wall_sets += [(np.concatenate([h, h[:1]]), False)
                       for h in (_norm(h, True) for h in holes)]
     else:
+        # Split each loop into smooth runs at sharp 2D corners so every
+        # run becomes its own lateral face — OCCT prisms make one face
+        # per profile edge, and the scripts explode/color them
+        # individually (Cpu.tcl `foreach f [explode board f]`).
         norm_loops = [_norm(o, False) for o in outers] \
             + [_norm(h, True) for h in holes]
-        wall_sets = [(np.concatenate([l, l[:1]]), False)
-                     for l in norm_loops]
+        wall_sets = []
+        for l in norm_loops:
+            for run in _split_loop_at_corners(l):
+                wall_sets.append((run, False))
 
     tris = [bottom_t, top_t]
     fids = []
@@ -125,6 +131,34 @@ def prism(face: FaceShape, vec) -> SolidShape:
     all_v, all_t, face_id = _weld_faces(all_v, all_t, face_id)
     all_t = _fix_orientation(all_v, all_t)
     return SolidShape(all_v, all_t, face_id, feature_edges=feature_edges)
+
+
+def _split_loop_at_corners(loop: np.ndarray,
+                           angle_deg: float = 30.0) -> List[np.ndarray]:
+    """Closed 2D loop -> smooth runs split at sharp corners (each run a
+    polyline with shared endpoints; arcs stay in one run)."""
+    n = len(loop)
+    if n < 3:
+        return [np.concatenate([loop, loop[:1]])]
+    prev = loop - np.roll(loop, 1, axis=0)
+    nxt = np.roll(loop, -1, axis=0) - loop
+    ln_p = np.linalg.norm(prev, axis=1)
+    ln_n = np.linalg.norm(nxt, axis=1)
+    cosang = np.einsum("ij,ij->i", prev, nxt) / np.maximum(ln_p * ln_n,
+                                                           1e-20)
+    sharp = cosang < math.cos(math.radians(angle_deg))
+    idx = np.flatnonzero(sharp)
+    if len(idx) < 2:
+        return [np.concatenate([loop, loop[:1]])]
+    runs = []
+    for k in range(len(idx)):
+        a = idx[k]
+        b = idx[(k + 1) % len(idx)]
+        if b > a:
+            runs.append(loop[a:b + 1])
+        else:
+            runs.append(np.concatenate([loop[a:], loop[:b + 1]]))
+    return runs
 
 
 def _weld_faces(v, t, f, tol=1e-9):
@@ -246,6 +280,18 @@ def _boundary_edges(tris: np.ndarray) -> List[Tuple[int, int]]:
             if cnt[tuple(sorted((i, j)))] == 1:
                 out.append((i, j))
     return out
+
+
+def _resample_open(pts: np.ndarray, n: int) -> np.ndarray:
+    """Arc-length resample an open polyline to n points (both ends kept)."""
+    p = np.asarray(pts, np.float64)
+    seg = np.linalg.norm(np.diff(p, axis=0), axis=-1)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = max(cum[-1], 1e-15)
+    t = np.linspace(0, total, n)
+    idx = np.clip(np.searchsorted(cum, t, side="right") - 1, 0, len(seg) - 1)
+    f = (t - cum[idx]) / np.maximum(seg[idx], 1e-15)
+    return p[idx] + f[:, None] * (p[idx + 1] - p[idx])
 
 
 def _resample_closed(pts: np.ndarray, n: int) -> np.ndarray:
@@ -388,7 +434,15 @@ class SweepBuilder:
             theta = np.unwrap(theta)
             theta -= theta[0]
 
-        # sections -> (station, 2D loop in untwisted frame)
+        # sections -> (station, 2D loop in untwisted frame). Open
+        # sections (Drill.tcl sweeps a single lip line) produce an open
+        # swept sheet instead of a closed tube.
+        # a closed section arrives with its first point repeated at the
+        # end (add_section contract)
+        closed_sec = all(
+            np.linalg.norm(s[0] - s[-1])
+            < 1e-6 * max(float(np.max(np.ptp(s, axis=0))), 1e-9)
+            for s in self.sections)
         placed = []
         npt = n or max(max(len(s) for s in self.sections), 48)
         for loop in self.sections:
@@ -401,7 +455,8 @@ class SweepBuilder:
             rot = np.array([[math.cos(-th), -math.sin(-th)],
                             [math.sin(-th), math.cos(-th)]])
             uv = uv @ rot.T
-            placed.append((s_i, _resample_closed(uv, npt)))
+            placed.append((s_i, _resample_closed(uv, npt) if closed_sec
+                           else _resample_open(uv, npt)))
         placed.sort(key=lambda x: x[0])
         for k in range(1, len(placed)):
             placed[k] = (placed[k][0],
@@ -432,19 +487,21 @@ class SweepBuilder:
         S = len(secs3)
         verts = np.concatenate(secs3)
         tris = []
+        n_conn = npt if closed_sec else npt - 1
         for k in range(S - 1):
-            for i in range(npt):
+            for i in range(n_conn):
                 j = (i + 1) % npt
                 a, b = k * npt + i, k * npt + j
                 c2, d2 = (k + 1) * npt + i, (k + 1) * npt + j
                 tris += [[a, b, d2], [a, d2, c2]]
         tris = np.asarray(tris, np.int32)
-        if solid:
+        if solid and closed_sec:
             tris = np.concatenate([
                 tris, _cap(secs3[0], 0, flip=True),
                 _cap(secs3[-1], (S - 1) * npt, flip=False)])
         v, t = weld_vertices(verts, tris)
-        t = _fix_orientation(v, t)
+        if closed_sec:
+            t = _fix_orientation(v, t)
         return SolidShape(v, t)
 
 
@@ -478,31 +535,40 @@ def offset_face_loops(face: FaceShape, dist: float,
     for h in holes:
         inside &= ~Path(h).contains_points(pts)
 
-    # unsigned distance to the boundary
-    d = np.full(len(pts), np.inf)
+    # unsigned distance to the boundary: kd-tree over a densified
+    # boundary sampling (resolution-matched, so the contour at |dist|
+    # is accurate to ~half a grid cell)
+    from scipy.spatial import cKDTree
+
+    cell = float(np.max(hi - lo)) / grid
+    bpts = []
     for loop in outers + holes:
-        seg_a = loop
-        seg_b = np.roll(loop, -1, axis=0)
-        for a, b in zip(seg_a, seg_b):
-            ab = b - a
-            L2 = float(ab @ ab)
-            if L2 < 1e-18:
-                continue
-            t = np.clip(((pts - a) @ ab) / L2, 0.0, 1.0)
-            proj = a + t[:, None] * ab
-            d = np.minimum(d, np.linalg.norm(pts - proj, axis=-1))
+        a = loop
+        b = np.roll(loop, -1, axis=0)
+        seg_len = np.linalg.norm(b - a, axis=1)
+        for i in range(len(a)):
+            n_sub = max(int(seg_len[i] / (0.5 * cell)), 1)
+            t = np.linspace(0.0, 1.0, n_sub, endpoint=False)
+            bpts.append(a[i] + t[:, None] * (b[i] - a[i]))
+    tree = cKDTree(np.concatenate(bpts))
+    d, _ = tree.query(pts, workers=-1)
     sdf = np.where(inside, -d, d).reshape(grid, grid)
 
     gen = contourpy.contour_generator(X, Y, sdf)
     lines = gen.lines(-abs(dist) if dist < 0 else -(-dist))
-    # contourpy returns list of (N, 2) arrays
+    # contourpy returns list of (N, 2) arrays; decimate — raw grid
+    # contours carry ~1000 nearly collinear points and boolean cost is
+    # quadratic in polygon count
+    from cadrays_tpu.modeling.triangulate import decimate_polyline
+
+    span = float(np.max(hi - lo))
     loops = []
     for seg in lines:
         seg = np.asarray(seg, np.float64)
         if len(seg) >= 3:
             if np.linalg.norm(seg[0] - seg[-1]) < 1e-9:
                 seg = seg[:-1]
-            loops.append(seg)
+            loops.append(decimate_polyline(seg, 5e-4 * span, closed=True))
     return loops
 
 
@@ -562,14 +628,20 @@ def offset_shape(solid: SolidShape, offset: float,
 
 def extract_feature_edges(solid: SolidShape, angle_deg: float = 25.0
                           ) -> List[dict]:
-    """Sharp mesh edges chained into feature curves.
+    """Feature curves of a solid mesh, chained per face-id pair.
 
-    Each entry: {"chain": (N,) vertex ids, "closed": bool} on the
-    solid's local mesh. Used by `explode <solid> e` and `blend`."""
+    A mesh edge is a feature when its two triangles belong to different
+    faces (topological boundary — how OCCT enumerates edges) or form a
+    dihedral sharper than `angle_deg` (creases inside one face id after
+    booleans). Chaining is grouped per face pair so `explode <s> e`
+    yields one name per topological edge, and Shape.tcl's indexed
+    `blend ... _model_161` finds enough edges to address.
+
+    Each entry: {"chain": (N,) vertex ids, "closed": bool}."""
     v, t = solid.verts, solid.tris
-    # edge -> adjacent triangles
     from collections import defaultdict
 
+    fid = solid.face_id
     emap = defaultdict(list)
     for ti, tri in enumerate(t):
         for k in range(3):
@@ -578,43 +650,52 @@ def extract_feature_edges(solid: SolidShape, angle_deg: float = 25.0
     fn = np.cross(v[t[:, 1]] - v[t[:, 0]], v[t[:, 2]] - v[t[:, 0]])
     fn = fn / np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
     cos_th = math.cos(math.radians(angle_deg))
-    sharp = []
+    groups = defaultdict(list)  # (fid_a, fid_b) -> [(i, j)]
     for (i, j), tl in emap.items():
         if len(tl) != 2:
             continue
-        if float(fn[tl[0]] @ fn[tl[1]]) < cos_th:
-            sharp.append((i, j))
-    # chain sharp edges through shared vertices
-    adj = defaultdict(list)
-    for (i, j) in sharp:
-        adj[i].append(j)
-        adj[j].append(i)
-    unused = set(sharp)
+        fa, fb = int(fid[tl[0]]), int(fid[tl[1]])
+        sharp = float(fn[tl[0]] @ fn[tl[1]]) < cos_th
+        if fa != fb:
+            if not sharp and float(fn[tl[0]] @ fn[tl[1]]) > 0.999:
+                # tessellation seam inside a geometrically smooth face
+                # pair boundary — still a topological edge
+                pass
+            groups[(min(fa, fb), max(fa, fb))].append((i, j))
+        elif sharp:
+            groups[(fa, -1)].append((i, j))
+
     chains = []
-    while unused:
-        i, j = next(iter(unused))
-        unused.discard((i, j))
-        chain = [i, j]
-        # extend forward
-        for _ in range(2):
-            while True:
-                last, prev = chain[-1], chain[-2]
-                nxt = None
-                for k in adj[last]:
-                    e = (min(last, k), max(last, k))
-                    if k != prev and e in unused:
-                        nxt = k
+    for pair in sorted(groups):
+        segs = groups[pair]
+        adj = defaultdict(list)
+        for (i, j) in segs:
+            adj[i].append(j)
+            adj[j].append(i)
+        unused = set(segs)
+        while unused:
+            i, j = next(iter(unused))
+            unused.discard((i, j))
+            chain = [i, j]
+            for _ in range(2):
+                while True:
+                    last, prev = chain[-1], chain[-2]
+                    nxt = None
+                    for k in adj[last]:
+                        e = (min(last, k), max(last, k))
+                        if k != prev and e in unused:
+                            nxt = k
+                            break
+                    if nxt is None:
                         break
-                if nxt is None:
-                    break
-                unused.discard((min(last, nxt), max(last, nxt)))
-                chain.append(nxt)
-            chain.reverse()
-        closed = chain[0] == chain[-1]
-        if closed:
-            chain = chain[:-1]
-        chains.append({"chain": np.asarray(chain, np.int64),
-                       "closed": closed})
+                    unused.discard((min(last, nxt), max(last, nxt)))
+                    chain.append(nxt)
+                chain.reverse()
+            closed = chain[0] == chain[-1]
+            if closed:
+                chain = chain[:-1]
+            chains.append({"chain": np.asarray(chain, np.int64),
+                           "closed": closed})
     # deterministic order: by first world point
     chains.sort(key=lambda c: tuple(np.round(v[c["chain"][0]], 6)))
     return chains

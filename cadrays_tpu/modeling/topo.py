@@ -183,6 +183,26 @@ class FaceShape(Shape):
         self.loops = [np.asarray(l, np.float64) for l in loops]
         self.edges2d = edges2d
 
+    def baked(self) -> "FaceShape":
+        """Location folded into the plane frame (loc -> identity).
+
+        Valid for rigid + uniform-scale locations — all the DRAW t*
+        commands produce. Boolean/cross-section code needs the face's
+        *world* plane, not its construction plane."""
+        if np.allclose(self.loc, np.eye(4)):
+            return self
+        R = self.loc[:3, :3]
+        s = float(np.cbrt(abs(np.linalg.det(R)))) or 1.0
+        origin = R @ self.plane.origin + self.loc[:3, 3]
+        normal = R @ self.plane.normal
+        xdir = R @ self.plane.xdir
+        pl = Plane(origin, normal / np.linalg.norm(normal),
+                   xdir / np.linalg.norm(xdir))
+        out = FaceShape(pl, [l * s for l in self.loops],
+                        edges2d=None if self.edges2d is None
+                        else [e * s for e in self.edges2d])
+        return out
+
     def outer_and_holes(self) -> Tuple[List[np.ndarray], List[np.ndarray]]:
         outers, holes = [], []
         if not self.loops:

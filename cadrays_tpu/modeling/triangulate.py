@@ -85,6 +85,49 @@ def _bridge_hole(outer: np.ndarray, hole: np.ndarray) -> np.ndarray:
     return merged
 
 
+def decimate_polyline(pts: np.ndarray, tol: float,
+                      closed: bool = True) -> np.ndarray:
+    """Douglas-Peucker polyline simplification (any dimension).
+
+    Contour-grid and cross-section outputs carry hundreds of nearly
+    collinear points; the BSP boolean cost is quadratic in polygon
+    count, so decimating to `tol` before downstream ops is a large
+    constant-factor win."""
+    pts = np.asarray(pts, np.float64)
+    if len(pts) <= 3:
+        return pts
+    if closed:
+        # split at the two farthest-apart anchor points
+        i0 = 0
+        d = np.linalg.norm(pts - pts[i0], axis=1)
+        i1 = int(np.argmax(d))
+        a = _dp(pts[np.r_[i0:i1 + 1]], tol)
+        b = _dp(pts[np.r_[i1:len(pts), 0:1]], tol)
+        out = np.concatenate([a[:-1], b[:-1]])
+        return out if len(out) >= 3 else pts
+    return _dp(pts, tol)
+
+
+def _dp(pts: np.ndarray, tol: float) -> np.ndarray:
+    if len(pts) <= 2:
+        return pts
+    a, b = pts[0], pts[-1]
+    ab = b - a
+    L2 = float(ab @ ab)
+    if L2 < 1e-30:
+        d = np.linalg.norm(pts - a, axis=1)
+    else:
+        t = np.clip((pts - a) @ ab / L2, 0.0, 1.0)
+        proj = a + t[:, None] * ab
+        d = np.linalg.norm(pts - proj, axis=1)
+    i = int(np.argmax(d))
+    if d[i] <= tol:
+        return np.stack([a, b])
+    left = _dp(pts[: i + 1], tol)
+    right = _dp(pts[i:], tol)
+    return np.concatenate([left[:-1], right])
+
+
 def triangulate(outer: Sequence, holes: Sequence = ()) -> Tuple[
         np.ndarray, np.ndarray]:
     """Triangulate a polygon with holes.
