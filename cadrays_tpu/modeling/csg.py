@@ -123,7 +123,9 @@ def solid_boolean(a: Shape, b: Shape, op: int) -> SolidShape:
     na = int(fa.max()) + 1 if len(fa) else 0
     f = _retag_coplanar(v, t, f, owner, vb, tb, fb, na)
     v2, t3, f3 = _weld_with_faces(v, t, f, owner=None, na=na)
-    return SolidShape(v2, t3, f3)
+    from cadrays_tpu.modeling.ops import simplify_solid
+
+    return simplify_solid(SolidShape(v2, t3, f3))
 
 
 def _retag_coplanar(v, t, f, owner, vb, tb, fb, na,

@@ -342,12 +342,17 @@ def loft(loops3d: Sequence[np.ndarray], solid: bool = True,
             c, d = (k + 1) * n + i, (k + 1) * n + j
             tris += [[a, b, d], [a, d, c]]
     tris = np.asarray(tris, np.int32)
+    fids = [np.zeros(len(tris), np.int32)]
     if solid:
-        tris = np.concatenate([tris, _cap(secs[0], 0, flip=True),
-                               _cap(secs[-1], (S - 1) * n, flip=False)])
-    v, t = weld_vertices(verts, tris)
-    t = _fix_orientation(v, t)
-    return SolidShape(v, t)
+        c0 = _cap(secs[0], 0, flip=True)
+        c1 = _cap(secs[-1], (S - 1) * n, flip=False)
+        tris = np.concatenate([tris, c0, c1])
+        fids += [np.full(len(c0), 1, np.int32),
+                 np.full(len(c1), 2, np.int32)]
+    fid = np.concatenate(fids)
+    v, t, fid = _weld_faces(verts, tris, fid, tol=1e-8)
+    t2 = _fix_orientation(v, t)
+    return SolidShape(v, t2, fid)
 
 
 def _cap(loop3: np.ndarray, offset: int, flip: bool) -> np.ndarray:
@@ -621,6 +626,244 @@ def offset_shape(solid: SolidShape, offset: float,
     return solid_boolean(SolidShape(v, t, f), cut, SUBTRACT)
 
 
+def _region_loops(segs, eps_rel: float = 1e-6):
+    """Directed 2D boundary segments -> closed region loops.
+
+    Handles the two artifacts BSP output carries: T-vertices (a segment's
+    interior touching another segment's endpoint — split there) and
+    coincident opposite segments from internal double covers (cancelled
+    geometrically after splitting). Returns None if loops fail to close.
+    """
+    from collections import defaultdict
+
+    if not segs:
+        return None
+    pts = np.concatenate([np.stack([a, b]) for a, b in segs])
+    span = max(float(np.max(np.ptp(pts, axis=0))), 1e-12)
+    eps = eps_rel * span
+
+    def q(p):
+        return (int(round(p[0] / eps)), int(round(p[1] / eps)))
+
+    # unique endpoint cloud
+    uniq = {}
+    for p in pts:
+        uniq.setdefault(q(p), p)
+    upts = np.asarray(list(uniq.values()))
+
+    # split segments at interior T-vertices
+    sub = []
+    for a, b in segs:
+        ab = b - a
+        L = float(np.linalg.norm(ab))
+        if L < eps:
+            continue
+        d = ab / L
+        rel = upts - a
+        tproj = rel @ d
+        perp = np.abs(rel @ np.array([-d[1], d[0]]))
+        on = (perp < eps) & (tproj > eps) & (tproj < L - eps)
+        ts = np.sort(tproj[on])
+        cur = 0.0
+        prev = a
+        for tv in list(ts) + [L]:
+            nxt_p = a + d * tv
+            if tv - cur > eps:
+                sub.append((prev, nxt_p))
+            prev = nxt_p
+            cur = tv
+
+    # geometric cancellation of opposite coincident sub-segments
+    bag = defaultdict(int)
+    rep = {}
+    for a, b in sub:
+        ka, kb = q(a), q(b)
+        if ka == kb:
+            continue
+        if bag[(kb, ka)] > 0:
+            bag[(kb, ka)] -= 1
+        else:
+            bag[(ka, kb)] += 1
+            rep[ka] = a
+            rep[kb] = b
+
+    nxt = defaultdict(list)
+    for (ka, kb), c in bag.items():
+        for _ in range(c):
+            nxt[ka].append(kb)
+    loops = []
+
+    def pick_next(prev_k, cur_k):
+        """At a junction, take the most-clockwise outgoing segment
+        relative to the incoming direction (planar-graph face walk —
+        keeps separate loops from being braided together)."""
+        outs = nxt[cur_k]
+        if len(outs) == 1:
+            return outs[0]
+        pin = rep[cur_k] - rep[prev_k]
+        ain = math.atan2(pin[1], pin[0])
+        best = None
+        best_turn = None
+        for kb in outs:
+            po = rep[kb] - rep[cur_k]
+            turn = (math.atan2(po[1], po[0]) - ain - math.pi) \
+                % (2 * math.pi)
+            if best_turn is None or turn < best_turn:
+                best_turn = turn
+                best = kb
+        return best
+
+    while True:
+        start = None
+        for ka, lst in nxt.items():
+            if lst:
+                start = ka
+                break
+        if start is None:
+            break
+        loop = [start]
+        cur = nxt[start].pop()
+        ok = True
+        for _ in range(len(sub) + 1):
+            if cur == start:
+                break
+            loop.append(cur)
+            if not nxt[cur]:
+                ok = False
+                break
+            kb = pick_next(loop[-2], cur)
+            nxt[cur].remove(kb)
+            cur = kb
+        else:
+            ok = False
+        if not ok or len(loop) < 3:
+            continue
+        loops.append(np.asarray([rep[k] for k in loop]))
+    if not loops:
+        return None
+    # drop degenerate slivers
+    out = [l for l in loops
+           if abs(signed_area(l)) > (eps * span) * 4]
+    return out or None
+
+
+def simplify_solid(solid: SolidShape) -> SolidShape:
+    """Re-polygonize planar faces shattered by the BSP.
+
+    A boolean clips every polygon of A through B's whole BSP tree, so a
+    large planar face ends up as thousands of shards (measured: a 21-tri
+    wedge fused with a 3k-tri cylinder ballooned to 64k tris). For each
+    planar face-id group this rebuilds the region from its boundary
+    loops and re-triangulates; curved faces are left alone."""
+    from collections import defaultdict
+
+    v, t, fid = solid.verts, solid.tris, solid.face_id
+    if len(t) == 0:
+        return solid
+    fn = np.cross(v[t[:, 1]] - v[t[:, 0]], v[t[:, 2]] - v[t[:, 0]])
+    areas2 = np.linalg.norm(fn, axis=1)
+    fn_unit = fn / np.maximum(areas2, 1e-30)[:, None]
+
+    new_tris: List[np.ndarray] = []
+    new_fid: List[np.ndarray] = []
+    new_verts = [v]
+    voff = len(v)
+    for f in np.unique(fid):
+        sel = np.flatnonzero(fid == f)
+        if len(sel) <= 8:
+            new_tris.append(t[sel])
+            new_fid.append(np.full(len(sel), f, np.int32))
+            continue
+        # drop sliver shards (BSP splinters + welding leave flipped
+        # near-zero-area triangles); planarity judged on the real area
+        amax = float(areas2[sel].max())
+        ok = sel[areas2[sel] > 1e-9 * amax]
+        if len(ok) == 0:
+            continue
+        nsum = fn[ok].sum(axis=0)
+        nn = np.linalg.norm(nsum)
+        if nn < 1e-20:
+            planar = False
+        else:
+            nref = nsum / nn
+            align = fn_unit[ok] @ nref
+            # BSP slivers flip; tolerate a small misaligned area share —
+            # the directed boundary cancels their edges exactly
+            w_bad = float(areas2[ok][np.abs(align) < 0.99995].sum())
+            planar = w_bad < 1e-4 * float(areas2[ok].sum())
+        if not planar:
+            new_tris.append(t[sel])
+            new_fid.append(np.full(len(sel), f, np.int32))
+            continue
+        # 2D frame for the group
+        origin = v[int(t[ok[0], 0])]
+        ref = np.array([1.0, 0, 0]) if abs(nref[0]) < 0.9 \
+            else np.array([0.0, 1, 0])
+        ex = np.cross(ref, nref)
+        ex /= np.linalg.norm(ex)
+        ey = np.cross(nref, ex)
+
+        def uv(idx):
+            rel = v[idx] - origin
+            return np.stack([rel @ ex, rel @ ey], axis=-1)
+
+        # directed boundary candidates (combinatorial count-1 edges),
+        # flipped triangles contribute reversed direction
+        cnt = defaultdict(int)
+        for ti2 in ok:
+            tri = t[ti2]
+            order = (0, 1, 2) if fn_unit[ti2] @ nref > 0 else (0, 2, 1)
+            for k in range(3):
+                i = int(tri[order[k]])
+                j = int(tri[order[(k + 1) % 3]])
+                if cnt.get((j, i), 0) > 0:
+                    cnt[(j, i)] -= 1
+                else:
+                    cnt[(i, j)] += 1
+        segs2 = [(uv(i), uv(j)) for (i, j), c2 in cnt.items()
+                 for _ in range(c2) if c2 > 0]
+        loops_uv = _region_loops(segs2)
+        if loops_uv is None:
+            new_tris.append(t[sel])
+            new_fid.append(np.full(len(sel), f, np.int32))
+            continue
+        outers2 = [l for l in loops_uv if signed_area(l) > 0]
+        holes2 = [l for l in loops_uv if signed_area(l) < 0]
+        from matplotlib.path import Path
+
+        group_tris = []
+        for oi in outers2:
+            op = Path(oi)
+            hs = [h for h in holes2 if op.contains_point(h.mean(axis=0))]
+            v2, tt = triangulate(oi, hs)
+            if len(tt) == 0:
+                continue
+            p3 = origin + v2[:, 0:1] * ex + v2[:, 1:2] * ey
+            new_verts.append(p3)
+            group_tris.append(tt + voff)
+            voff += len(v2)
+        if not group_tris:
+            new_tris.append(t[sel])
+            new_fid.append(np.full(len(sel), f, np.int32))
+            continue
+        gt = np.concatenate(group_tris).astype(np.int32)
+        # orient like the source normal
+        av = np.concatenate(new_verts)
+        gn = np.cross(av[gt[:, 1]] - av[gt[:, 0]],
+                      av[gt[:, 2]] - av[gt[:, 0]]).sum(axis=0)
+        if float(gn @ nref) < 0:
+            gt = gt[:, [0, 2, 1]]
+        new_tris.append(gt)
+        new_fid.append(np.full(len(gt), f, np.int32))
+    av = np.concatenate(new_verts)
+    at = np.concatenate(new_tris)
+    af = np.concatenate(new_fid)
+    av, at, af = _weld_faces(av, at, af, tol=1e-8)
+    out = SolidShape(av, at, af)
+    out.loc = solid.loc.copy()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # fillets
 # ---------------------------------------------------------------------------
@@ -694,11 +937,50 @@ def extract_feature_edges(solid: SolidShape, angle_deg: float = 25.0
             closed = chain[0] == chain[-1]
             if closed:
                 chain = chain[:-1]
-            chains.append({"chain": np.asarray(chain, np.int64),
-                           "closed": closed})
+            # split at sharp 3D corners: OCCT edges end at vertices, so a
+            # polyline boundary contributes one edge per straight run
+            for part, pclosed in _split_chain_at_corners(v, chain, closed):
+                chains.append({"chain": np.asarray(part, np.int64),
+                               "closed": pclosed})
     # deterministic order: by first world point
     chains.sort(key=lambda c: tuple(np.round(v[c["chain"][0]], 6)))
     return chains
+
+
+def _split_chain_at_corners(v, chain, closed, angle_deg: float = 40.0):
+    pts = v[np.asarray(chain)]
+    n = len(pts)
+    if n < 3:
+        return [(chain, closed)]
+    cos_th = math.cos(math.radians(angle_deg))
+    corners = []
+    rng = range(n) if closed else range(1, n - 1)
+    for k in rng:
+        a = pts[k] - pts[k - 1]
+        b = pts[(k + 1) % n] - pts[k]
+        la = np.linalg.norm(a)
+        lb = np.linalg.norm(b)
+        if la < 1e-12 or lb < 1e-12:
+            continue
+        if float(a @ b) / (la * lb) < cos_th:
+            corners.append(k)
+    if not corners:
+        return [(chain, closed)]
+    out = []
+    if closed:
+        for c_i in range(len(corners)):
+            a = corners[c_i]
+            b = corners[(c_i + 1) % len(corners)]
+            seg = chain[a:b + 1] if b > a else chain[a:] + chain[:b + 1]
+            if len(seg) >= 2:
+                out.append((seg, False))
+    else:
+        bounds = [0] + corners + [n - 1]
+        for k in range(len(bounds) - 1):
+            seg = chain[bounds[k]:bounds[k + 1] + 1]
+            if len(seg) >= 2:
+                out.append((seg, False))
+    return out
 
 
 def fillet_edges(solid: SolidShape, blends: List[Tuple[np.ndarray, bool,
