@@ -898,6 +898,14 @@ class Console(ModelingMixin):
                 mesh = mesh.transformed(rot)
             if "gensmooth" in flags or mesh.normals is None:
                 mesh.compute_vertex_normals()
+            if "genuv" in flags:
+                # Assimp GenUVCoords analogue (MeshImporter.cxx:73-97):
+                # generate/normalize texture coordinates on import.
+                from cadrays_tpu.geometry.parameterize import (
+                    has_valid_uvs, parameterize_mesh)
+
+                if not has_valid_uvs(mesh):
+                    mesh = parameterize_mesh(mesh)
             return mesh
 
         if len(parts) == 1 or not group:
@@ -907,8 +915,7 @@ class Console(ModelingMixin):
                 nm = base if len(parts) == 1 else f"{base}_{k + 1}"
                 mat = _material_from_part(part)
                 node = sc.add_mesh(nm, prep(part.mesh), mat)
-                if part.texture_path:
-                    _attach_texture(self.session, node.name, part.texture_path)
+                _attach_part_textures(self.session, node.name, part)
                 created.append(node.name)
             return " ".join(created)
 
@@ -923,8 +930,7 @@ class Console(ModelingMixin):
                              _material_from_part(part))
             sc.model.register(child)
             parent.add_child(child)
-            if part.texture_path:
-                _attach_texture(self.session, child.name, part.texture_path)
+            _attach_part_textures(self.session, child.name, part)
         sc.touch()
         return parent.name
 
@@ -963,7 +969,16 @@ class Console(ModelingMixin):
         return ""
 
     def cmd_rtgroup(self, args):
-        grp = self.session.scene.model.group(list(args))
+        """rtgroup name1 name2 ... [-name groupName]
+        (ImportExportPlugin.cxx:464-602; -name is our extension so scene
+        exports can round-trip group identity + transforms)."""
+        args = list(args)
+        gname = "Group"
+        if "-name" in args:
+            i = args.index("-name")
+            gname = args[i + 1]
+            del args[i:i + 2]
+        grp = self.session.scene.model.group(args, group_name=gname)
         if grp is None:
             raise CommandError("rtgroup: nodes must be existing siblings")
         self.session.scene.touch()
@@ -1171,11 +1186,20 @@ def _material_from_part(part) -> Material:
 
 
 def _attach_texture(session: Session, name: str, path: str,
-                    scale: float = 1.0) -> None:
+                    scale: float = 1.0, slot: str = "kd") -> None:
     from cadrays_tpu.utils.image import load_image
 
     img = load_image(path)
-    session.scene.set_texture(name, path, img, uv_scale=scale)
+    session.scene.set_texture(name, path, img, uv_scale=scale, slot=slot)
+
+
+def _attach_part_textures(session: Session, name: str, part) -> None:
+    """Kd + Ks texture pickup on import (AisMesh.cxx:321-332)."""
+    if part.texture_path:
+        _attach_texture(session, name, part.texture_path)
+    ks_path = getattr(part, "ks_texture_path", None)
+    if ks_path:
+        _attach_texture(session, name, ks_path, slot="ks")
 
 
 def make_console(session: Optional[Session] = None):

@@ -73,28 +73,15 @@ class Material:
     base_fparams: jnp.ndarray  # (M, 4)
     coat_ftype: jnp.ndarray  # (M,) int32
     coat_fparams: jnp.ndarray  # (M, 4)
-    tex_id: jnp.ndarray  # (M,) int32, -1 = no texture
+    tex_id: jnp.ndarray  # (M,) int32, -1 = no texture (Kd map)
+    ks_tex_id: jnp.ndarray  # (M,) int32, -1 = no texture (Ks map)
     uv_scale: jnp.ndarray  # (M,)
 
     def gather(self, idx: jnp.ndarray) -> "Material":
         """Gather per-ray materials by index array."""
-        return Material(
-            kc=self.kc[idx],
-            kd=self.kd[idx],
-            ks=self.ks[idx],
-            kt=self.kt[idx],
-            le=self.le[idx],
-            base_rough=self.base_rough[idx],
-            coat_rough=self.coat_rough[idx],
-            absorp_color=self.absorp_color[idx],
-            absorp_coeff=self.absorp_coeff[idx],
-            base_ftype=self.base_ftype[idx],
-            base_fparams=self.base_fparams[idx],
-            coat_ftype=self.coat_ftype[idx],
-            coat_fparams=self.coat_fparams[idx],
-            tex_id=self.tex_id[idx],
-            uv_scale=self.uv_scale[idx],
-        )
+        import jax
+
+        return jax.tree.map(lambda a: a[idx], self)
 
     @property
     def eta(self) -> jnp.ndarray:
@@ -119,6 +106,7 @@ def material(
     base_fresnel=(FRESNEL_SCHLICK, np.array([0.04, 0.04, 0.04, 0.0], np.float32)),
     coat_fresnel=(FRESNEL_DIELECTRIC, np.array([1.5, 0.0, 0.0, 0.0], np.float32)),
     tex_id=-1,
+    ks_tex_id=-1,
     uv_scale=1.0,
 ) -> Material:
     """Host-side single-material constructor (leading dim 1)."""
@@ -150,6 +138,7 @@ def material(
         coat_ftype=ct,
         coat_fparams=cp,
         tex_id=np.int32([tex_id]),
+        ks_tex_id=np.int32([ks_tex_id]),
         uv_scale=np.float32([uv_scale]),
     )
 

@@ -27,7 +27,8 @@ class LoadedPart:
     specular: Optional[Tuple[float, float, float]] = None
     emission: Optional[Tuple[float, float, float]] = None
     shininess: Optional[float] = None
-    texture_path: Optional[str] = None
+    texture_path: Optional[str] = None  # Kd map
+    ks_texture_path: Optional[str] = None  # Ks map (AisMesh.cxx:321-332)
 
 
 def _parse_mtl(path: str) -> Dict[str, dict]:
@@ -49,8 +50,8 @@ def _parse_mtl(path: str) -> Dict[str, dict]:
                     mats[cur][key] = tuple(float(x) for x in parts[1:4])
                 elif key == "ns" and len(parts) >= 2:
                     mats[cur]["ns"] = float(parts[1])
-                elif key == "map_kd" and len(parts) >= 2:
-                    mats[cur]["map_kd"] = parts[-1]
+                elif key in ("map_kd", "map_ks") and len(parts) >= 2:
+                    mats[cur][key] = parts[-1]
     except OSError:
         pass
     return mats
@@ -141,6 +142,8 @@ def load_obj(path: str, group_by_material: bool = True) -> List[LoadedPart]:
             shininess=d.get("ns"),
             texture_path=(os.path.join(os.path.dirname(path), d["map_kd"])
                           if "map_kd" in d else None),
+            ks_texture_path=(os.path.join(os.path.dirname(path), d["map_ks"])
+                             if "map_ks" in d else None),
         ))
     # deterministic material order (reference sorts by material index,
     # MeshImporter.cxx:112-121)

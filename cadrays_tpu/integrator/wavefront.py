@@ -152,7 +152,9 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
 
         # ---- surface shading -------------------------------------------
         tex = sample_texture(scene.textures, mat.tex_id, h["uv"], mat.uv_scale)
-        mat = mat.replace(kd=mat.kd * tex)
+        ks_tex = sample_texture(scene.textures, mat.ks_tex_id, h["uv"],
+                                mat.uv_scale)
+        mat = mat.replace(kd=mat.kd * tex, ks=mat.ks * ks_tex)
 
         n = h["n_shade"]
         wo = -d

@@ -106,7 +106,9 @@ def render_whitted(scene: SceneData, camera: Camera, params: RenderParams,
 
         mat = scene.materials.gather(h["mat_id"])
         tex = sample_texture(scene.textures, mat.tex_id, h["uv"], mat.uv_scale)
-        mat = mat.replace(kd=mat.kd * tex)
+        ks_tex = sample_texture(scene.textures, mat.ks_tex_id, h["uv"],
+                                mat.uv_scale)
+        mat = mat.replace(kd=mat.kd * tex, ks=mat.ks * ks_tex)
         wo = -d
         transmissive = vm.luminance(mat.kt) > 1e-3
         if not params.two_sided:

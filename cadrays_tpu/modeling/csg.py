@@ -33,7 +33,16 @@ from cadrays_tpu.modeling.topo import (FaceShape, Shape, SolidShape,
 _DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))), "native")
 _SRC = os.path.join(_DIR, "mesh_csg.cpp")
-_LIB = os.path.join(_DIR, "libcadrays_csg.so")
+if os.access(_DIR, os.W_OK):
+    _LIB = os.path.join(_DIR, "libcadrays_csg.so")
+else:
+    # read-only site-packages install: build into the user cache
+    _cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "cadrays_tpu")
+    os.makedirs(_cache, exist_ok=True)
+    _LIB = os.path.join(_cache, "libcadrays_csg.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None

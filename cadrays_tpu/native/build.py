@@ -14,7 +14,17 @@ from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "bvh_builder.cpp")
-_LIB = os.path.join(_DIR, "libcadrays_native.so")
+if os.access(_DIR, os.W_OK):
+    _LIB = os.path.join(_DIR, "libcadrays_native.so")
+else:
+    # pip-installed into a read-only site-packages: build into the
+    # user cache instead
+    _cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "cadrays_tpu")
+    os.makedirs(_cache, exist_ok=True)
+    _LIB = os.path.join(_cache, "libcadrays_native.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None

@@ -136,7 +136,8 @@ def build_shade_table(geom: GeometryData, materials) -> jnp.ndarray:
         m.absorp_color, m.absorp_coeff[:, None],
         m.base_ftype.astype(jnp.float32)[:, None], m.base_fparams,
         m.coat_ftype.astype(jnp.float32)[:, None], m.coat_fparams,
-        m.tex_id.astype(jnp.float32)[:, None], m.uv_scale[:, None],
+        m.tex_id.astype(jnp.float32)[:, None],
+        m.ks_tex_id.astype(jnp.float32)[:, None], m.uv_scale[:, None],
     ]
     if geom.instanced:
         cols.append(geom.tri_inst.astype(jnp.float32)[:, None])
@@ -163,7 +164,8 @@ def _unpack_material(rows):
         absorp_color=seg(3), absorp_coeff=seg(1)[:, 0],
         base_ftype=seg(1)[:, 0].astype(jnp.int32), base_fparams=seg(4),
         coat_ftype=seg(1)[:, 0].astype(jnp.int32), coat_fparams=seg(4),
-        tex_id=seg(1)[:, 0].astype(jnp.int32), uv_scale=seg(1)[:, 0],
+        tex_id=seg(1)[:, 0].astype(jnp.int32),
+        ks_tex_id=seg(1)[:, 0].astype(jnp.int32), uv_scale=seg(1)[:, 0],
     )
 
 

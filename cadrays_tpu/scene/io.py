@@ -11,6 +11,7 @@ camera, env map and lights. That *is* the checkpoint format (SURVEY.md §5
 from __future__ import annotations
 
 import os
+import shutil
 from typing import List
 
 import numpy as np
@@ -147,9 +148,18 @@ def export_scene(session, directory: str,
                     if t == tid:
                         tex_dir = os.path.join(directory, "textures")
                         os.makedirs(tex_dir, exist_ok=True)
-                        tname = f"textures/tex_{tid}.hdr"
-                        write_hdr(os.path.join(directory, tname),
-                                  sc._textures[tid])
+                        # copy the original texture file when the registry
+                        # key is a readable path (TextureManager::CopyTo,
+                        # ImportExport.cxx:513-528); re-encode as .hdr only
+                        # for synthesized/in-memory textures
+                        if os.path.isfile(key):
+                            tname = "textures/" + os.path.basename(key)
+                            shutil.copyfile(key,
+                                            os.path.join(directory, tname))
+                        else:
+                            tname = f"textures/tex_{tid}.hdr"
+                            write_hdr(os.path.join(directory, tname),
+                                      sc._textures[tid])
                         scale = float(np.asarray(node.material.uv_scale)[0])
                         lines.append(f"rttexture {node.name} {tname} "
                                      f"-scale {_fmt(scale)}")
@@ -157,7 +167,12 @@ def export_scene(session, directory: str,
             lines.extend(_transform_commands(node.name, node))
             return [node.name]
         if child_names and node.parent is not None:
-            group_cmds.append("rtgroup " + " ".join(child_names))
+            group_cmds.append("rtgroup " + " ".join(child_names)
+                              + f" -name {node.name}")
+            # group-node transforms must survive the round-trip
+            # (ImportExport.cxx:276-305 applies to every node)
+            if not np.allclose(node.transform, np.eye(4), atol=1e-12):
+                group_cmds.extend(_transform_commands(node.name, node))
             return []  # grouped
         return child_names
 

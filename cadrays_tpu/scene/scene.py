@@ -155,15 +155,31 @@ class Scene:
         return tid
 
     def set_texture(self, name: str, key: str, image: np.ndarray,
-                    uv_scale: float = 1.0) -> None:
-        """Attach a texture to a node's material (rttexture semantics)."""
+                    uv_scale: float = 1.0, slot: str = "kd") -> None:
+        """Attach a texture to a node's material (rttexture semantics).
+
+        slot "kd" modulates the diffuse lobe (the rttexture surface),
+        "ks" the glossy lobe (import-time Ks map pickup,
+        AisMesh.cxx:321-332). Shapes without usable UVs are
+        parameterized on attach — the DataNode::Parameterize analogue
+        (DataNode.cxx:200-298): CAD surface parameters are normalized
+        per face, UV-less meshes get a box projection.
+        """
+        from cadrays_tpu.geometry.parameterize import parameterize_mesh
+
         tid = self.add_texture(key, image)
         node = self.model.get(name)
         if node is None:
             raise KeyError(name)
+        field = {"kd": "tex_id", "ks": "ks_tex_id"}[slot]
         for n in node.traverse():
+            if n.mesh is not None:
+                # idempotent: generates/normalizes only when the UV set
+                # is absent, degenerate, or outside [0,1]
+                n.mesh = parameterize_mesh(n.mesh)
             n.material = n.material.replace(
-                tex_id=np.int32([tid]), uv_scale=np.float32([uv_scale]))
+                uv_scale=np.float32([uv_scale]),
+                **{field: np.int32([tid])})
         self.touch()
 
     # -- flattening --------------------------------------------------------

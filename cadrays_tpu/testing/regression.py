@@ -90,6 +90,9 @@ def html_report(rows: List[dict], path: str) -> None:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default=None,
+                    help="force a jax platform (e.g. cpu); goldens are "
+                    "backend-specific, tests render them on cpu")
     ap.add_argument("--scenes", default=os.path.join(
         os.path.dirname(__file__), "..", "..", "tests", "data"))
     ap.add_argument("--golden", default=os.path.join(
@@ -103,6 +106,13 @@ def main(argv=None) -> int:
     ap.add_argument("--update", "-u", action="store_true",
                     help="promote this run to the golden template")
     args = ap.parse_args(argv)
+
+    if args.backend:
+        # the env var alone is too late in images whose sitecustomize
+        # imports jax at interpreter startup (see tests/conftest.py)
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
 
     os.makedirs(args.golden, exist_ok=True)
     scenes = sorted(f for f in os.listdir(args.scenes)
