@@ -1110,7 +1110,13 @@ class Console(ModelingMixin):
         if not info["hit"]:
             return "miss"
         p = info["position"]
-        return (f"hit t={info['t']:.6g} at {p[0]:.4g} {p[1]:.4g} "
+        # mat_id indexes the flatten order of visible leaves -> resolve
+        # the node name for the selection->edit flow
+        # (AppGui.cxx onSelectionEvent:78-94)
+        leaves = s.scene.model.leaves(visible_only=True)
+        name = leaves[info["mat_id"]].name \
+            if 0 <= info["mat_id"] < len(leaves) else "?"
+        return (f"hit {name} t={info['t']:.6g} at {p[0]:.4g} {p[1]:.4g} "
                 f"{p[2]:.4g} mat={info['mat_id']} tri={info['tri']}")
 
     def cmd_help(self, args):

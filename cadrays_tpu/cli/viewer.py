@@ -2,18 +2,37 @@
 
 The reference's viewer is a desktop GLFW/ImGui app whose load-bearing
 behavior is: render progressive passes continuously, show the refining
-image, restart accumulation on any scene/camera/param edit, accept
-commands in a console (SURVEY.md §7.1 step 9 — the ~25 kLoC vendored UI
-layer is explicitly not worth rebuilding; this covers its function).
+image, restart accumulation on any scene/camera/param edit
+(AppViewer.cxx:979-984), accept commands in a console, orbit the camera
+with the mouse (OrbitControls.cxx:70-158), select objects by click to
+edit their material (AppGui.cxx onSelectionEvent), and pause/resume the
+progressive loop (AppViewer.cxx:916-920). The ~25 kLoC vendored ImGui
+layer is explicitly not worth rebuilding (SURVEY.md §7.1 step 9); this
+page covers its function.
 
     python -m cadrays_tpu.cli.viewer scene.crt [--port 8790] [--res 512]
 
 Serves:
-  GET  /           viewer page (auto-refreshing image + console box)
+  GET  /           viewer page (live image + console + mouse controls)
   GET  /frame.png  current tone-mapped accumulation
-  GET  /status     JSON {spp, width, height, mode}
+  GET  /status     JSON {spp, width, height, mode, paused}
   POST /exec       body = command line; executes on the session (edits
                    invalidate the accumulator via the state fingerprint)
+  POST /orbit      JSON {op: rotate|pan|zoom, dx, dy} — mutates the
+                   camera via cli/controls.OrbitControls; accumulation
+                   restarts automatically (camera is in the fingerprint)
+  POST /pick       JSON {x, y} in image pixels — returns the vpick line
+                   (hit node name + position) for the selection flow
+  POST /pause      toggles the progressive loop; returns "paused"/"running"
+  GET  /scripts    JSON list of *.crt/*.tcl script names in the session
+                   script dir (ScriptEditor.cxx:48-64)
+  GET  /script?name=N  script source
+  POST /script     JSON {name, text[, run]} — save (and optionally run)
+                   the script (ScriptEditor.cxx:134-263)
+  POST /script_delete  JSON {name}
+
+Mouse on the image: drag = orbit, shift-drag = pan, wheel = zoom,
+click = pick (fills the command box with `vbsdf <name> ` ready to edit).
 
 The render loop runs in the main thread; HTTP handling in a daemon
 thread. This is deliberately simple — the command surface does the rest.
@@ -30,31 +49,120 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 _PAGE = """<!doctype html>
 <html><head><title>cadrays_tpu viewer</title><style>
 body { background:#222; color:#ddd; font-family:monospace; margin:16px }
-img { image-rendering:pixelated; border:1px solid #555; max-width:90vw }
-input { width:60%%; background:#333; color:#eee; border:1px solid #555;
+img { image-rendering:pixelated; border:1px solid #555; max-width:90vw;
+      cursor:crosshair; user-select:none; -webkit-user-drag:none }
+input { width:60%; background:#333; color:#eee; border:1px solid #555;
         padding:4px }
+button { background:#333; color:#eee; border:1px solid #555; padding:4px }
 #log { white-space:pre-wrap; color:#9c9 } .err { color:#c99 }
 </style></head><body>
-<h3>cadrays_tpu <span id="st"></span></h3>
-<img id="view" src="/frame.png"/>
+<h3>cadrays_tpu <span id="st"></span>
+    <button id="pause" onclick="pause()">pause</button></h3>
+<img id="view" src="/frame.png" draggable="false"/>
 <p><input id="cmd" placeholder="command (e.g. vbsdf s -kd 1 0 0)"
    onkeydown="if(event.key=='Enter')run()"/></p>
+<details><summary>script editor</summary>
+<p><select id="scripts" onchange="loadScript()"></select>
+   <input id="sname" style="width:20%" placeholder="name.crt"/>
+   <button onclick="saveScript(false)">save</button>
+   <button onclick="saveScript(true)">save+run</button>
+   <button onclick="delScript()">delete</button></p>
+<textarea id="stext" rows="14" style="width:90vw;background:#2a2a2a;
+  color:#dfd;border:1px solid #555;font-family:monospace"></textarea>
+</details>
 <div id="log"></div>
 <script>
+async function refreshScripts(){
+  const names = await (await fetch('/scripts')).json();
+  const sel = document.getElementById('scripts');
+  sel.innerHTML = '<option value="">-- scripts --</option>' +
+    names.map(n => `<option>${n}</option>`).join('');
+}
+refreshScripts();
+async function loadScript(){
+  const n = document.getElementById('scripts').value;
+  if (!n) return;
+  document.getElementById('sname').value = n;
+  document.getElementById('stext').value =
+    await (await fetch('/script?name=' + encodeURIComponent(n))).text();
+}
+async function saveScript(run){
+  const name = document.getElementById('sname').value;
+  if (!name) return;
+  const r = await fetch('/script', {method:'POST', body: JSON.stringify(
+    {name: name, text: document.getElementById('stext').value, run: run})});
+  logLine((run ? 'run ' : 'save ') + name, await r.text());
+  refreshScripts();
+}
+async function delScript(){
+  const name = document.getElementById('sname').value;
+  if (!name) return;
+  const r = await fetch('/script_delete', {method:'POST',
+    body: JSON.stringify({name: name})});
+  logLine('delete ' + name, await r.text());
+  refreshScripts();
+}
+const img = document.getElementById('view');
+let drag = null, moved = false;
+function imgXY(e){
+  const r = img.getBoundingClientRect();
+  return [ (e.clientX - r.left) * img.naturalWidth / r.width,
+           (e.clientY - r.top) * img.naturalHeight / r.height ];
+}
+img.addEventListener('mousedown', e => {
+  drag = {x: e.clientX, y: e.clientY, pan: e.shiftKey || e.button === 1};
+  moved = false; e.preventDefault();
+});
+window.addEventListener('mousemove', e => {
+  if (!drag) return;
+  const dx = e.clientX - drag.x, dy = e.clientY - drag.y;
+  if (Math.abs(dx) + Math.abs(dy) < 2) return;
+  moved = true;
+  fetch('/orbit', {method:'POST', body: JSON.stringify(
+    {op: drag.pan ? 'pan' : 'rotate', dx: dx, dy: dy})});
+  drag.x = e.clientX; drag.y = e.clientY;
+});
+window.addEventListener('mouseup', async e => {
+  if (!drag) return;
+  const wasDrag = moved; drag = null;
+  if (wasDrag) return;
+  const [x, y] = imgXY(e);
+  const r = await fetch('/pick', {method:'POST',
+                                  body: JSON.stringify({x: x, y: y})});
+  const t = await r.text();
+  logLine('pick ' + Math.round(x) + ' ' + Math.round(y), t);
+  const m = t.match(/^hit (\\S+)/);
+  if (m) {
+    const box = document.getElementById('cmd');
+    box.value = 'vbsdf ' + m[1] + ' ';
+    box.focus();
+  }
+});
+img.addEventListener('wheel', e => {
+  e.preventDefault();
+  fetch('/orbit', {method:'POST', body: JSON.stringify(
+    {op: 'zoom', dx: 0, dy: e.deltaY > 0 ? -1 : 1})});
+}, {passive: false});
+async function pause(){
+  const r = await fetch('/pause', {method:'POST'});
+  document.getElementById('pause').textContent =
+      (await r.text()) === 'paused' ? 'resume' : 'pause';
+}
+function logLine(cmd, out){
+  const log = document.getElementById('log');
+  log.textContent = '> ' + cmd + '\\n' + out + '\\n' + log.textContent;
+}
 async function tick(){
   const s = await (await fetch('/status')).json();
   document.getElementById('st').textContent =
-      ` ${s.width}x${s.height} spp=${s.spp}`;
-  const img = document.getElementById('view');
+      ` ${s.width}x${s.height} spp=${s.spp}` + (s.paused ? ' [paused]' : '');
   img.src = '/frame.png?' + Date.now();
 }
 setInterval(tick, 1000);
 async function run(){
   const box = document.getElementById('cmd');
   const r = await fetch('/exec', {method:'POST', body: box.value});
-  const t = await r.text();
-  const log = document.getElementById('log');
-  log.textContent = '> ' + box.value + '\\n' + t + '\\n' + log.textContent;
+  logLine(box.value, await r.text());
   box.value='';
 }
 </script></body></html>"""
@@ -67,9 +175,29 @@ class ViewerState:
         self.png_bytes = b""
         self.spp = 0
         self.running = True
+        self.paused = False
 
 
 def _make_handler(state: ViewerState, console):
+    import os
+    import urllib.parse
+
+    from cadrays_tpu.cli.controls import OrbitControls
+
+    orbit = OrbitControls()
+
+    def script_dir():
+        d = os.path.join(state.session.cwd or ".", "scripts")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def script_path(name):
+        # keep names inside the script dir (no path traversal)
+        base = os.path.basename(name)
+        if not base or os.path.splitext(base)[1] not in (".crt", ".tcl"):
+            raise ValueError(f"script name must end in .crt/.tcl: {name!r}")
+        return os.path.join(script_dir(), base)
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -90,16 +218,33 @@ def _make_handler(state: ViewerState, console):
                 s = state.session
                 body = json.dumps({
                     "spp": state.spp, "width": s.width, "height": s.height,
-                    "mode": s.params.mode,
+                    "mode": s.params.mode, "paused": state.paused,
                 }).encode()
                 self._send(200, "application/json", body)
+            elif self.path.startswith("/scripts"):
+                names = sorted(f for f in os.listdir(script_dir())
+                               if f.endswith((".crt", ".tcl")))
+                self._send(200, "application/json",
+                           json.dumps(names).encode())
+            elif self.path.startswith("/script?"):
+                q = urllib.parse.parse_qs(
+                    urllib.parse.urlparse(self.path).query)
+                try:
+                    with open(script_path(q["name"][0])) as f:
+                        self._send(200, "text/plain", f.read().encode())
+                except Exception as e:
+                    self._send(404, "text/plain", f"[error] {e}".encode())
             else:
                 self._send(200, "text/html", _PAGE.encode())
 
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n).decode()
+
         def do_POST(self):
+            s = state.session
             if self.path.startswith("/exec"):
-                n = int(self.headers.get("Content-Length", 0))
-                cmd = self.rfile.read(n).decode()
+                cmd = self._body()
                 try:
                     with state.lock:
                         out = console.exec(cmd)
@@ -107,6 +252,59 @@ def _make_handler(state: ViewerState, console):
                 except Exception as e:
                     self._send(200, "text/plain",
                                f"[error] {e}".encode())
+            elif self.path.startswith("/orbit"):
+                # camera edit -> fingerprint change -> accumulation
+                # restart in the render loop (AppViewer.cxx:979-984)
+                try:
+                    req = json.loads(self._body())
+                    with state.lock:
+                        cam = s.camera
+                        if req["op"] == "rotate":
+                            cam = orbit.rotate(cam, req["dx"], req["dy"])
+                        elif req["op"] == "pan":
+                            cam = orbit.pan(cam, req["dx"], req["dy"],
+                                            s.height)
+                        elif req["op"] == "zoom":
+                            cam = orbit.zoom(cam, req["dy"])
+                        s.camera = cam
+                    self._send(200, "text/plain", b"ok")
+                except Exception as e:
+                    self._send(200, "text/plain", f"[error] {e}".encode())
+            elif self.path.startswith("/pick"):
+                try:
+                    req = json.loads(self._body())
+                    with state.lock:
+                        out = console.exec(
+                            f"vpick {float(req['x'])} {float(req['y'])}")
+                    self._send(200, "text/plain", out.encode())
+                except Exception as e:
+                    self._send(200, "text/plain", f"[error] {e}".encode())
+            elif self.path.startswith("/pause"):
+                state.paused = not state.paused
+                self._send(200, "text/plain",
+                           b"paused" if state.paused else b"running")
+            elif self.path.startswith("/script_delete"):
+                try:
+                    req = json.loads(self._body())
+                    os.remove(script_path(req["name"]))
+                    self._send(200, "text/plain", b"deleted")
+                except Exception as e:
+                    self._send(200, "text/plain", f"[error] {e}".encode())
+            elif self.path.startswith("/script"):
+                # save (+ optionally run) — ScriptEditor.cxx:134-263
+                try:
+                    req = json.loads(self._body())
+                    path = script_path(req["name"])
+                    with open(path, "w") as f:
+                        f.write(req.get("text", ""))
+                    out = "saved"
+                    if req.get("run"):
+                        with state.lock:
+                            res = console.source(path)
+                        out = f"saved + run\n{res or ''}".rstrip()
+                    self._send(200, "text/plain", out.encode())
+                except Exception as e:
+                    self._send(200, "text/plain", f"[error] {e}".encode())
             else:
                 self._send(404, "text/plain", b"")
 
@@ -155,6 +353,9 @@ def main(argv=None) -> int:
 
     try:
         while True:
+            if state.paused:
+                time.sleep(0.1)
+                continue
             with state.lock:
                 data = session.scene.flatten(session.camera)
                 cam, params = session.camera, session.params

@@ -1,0 +1,130 @@
+"""Interactive viewer loop: orbit / pick / edit / pause over HTTP.
+
+Covers the reference's interactive contract without a browser:
+mouse orbit mutates the camera (OrbitControls.cxx:70-158), click
+selection resolves the hit node for material editing (AppGui.cxx
+onSelectionEvent:78-94), edits restart progressive accumulation
+(AppViewer.cxx:979-984), pause stops the loop (:916-920).
+"""
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def viewer():
+    from cadrays_tpu.cli.commands import Console, Session
+    from cadrays_tpu.cli.viewer import ViewerState, _make_handler
+
+    s = Session()
+    con = Console(s)
+    con.exec("vlight add positional pos 0.5 0.5 0.85 sm 0.06 int 25")
+    con.exec("psphere s 0.3")
+    con.exec("vdisplay s")
+    con.exec("vlocation s -setLocation 0.5 0.5 0.5")
+    con.exec("vviewparams -eye 0.5 -1.5 0.5 -at 0.5 0.5 0.5 -up 0 0 1")
+    con.exec("vrtsize 32 32")
+    state = ViewerState(s)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state, con))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield s, state, f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def _post(url, path, body=b""):
+    if isinstance(body, dict):
+        body = json.dumps(body).encode()
+    elif isinstance(body, str):
+        body = body.encode()
+    req = urllib.request.Request(url + path, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.read().decode()
+
+
+def _get(url, path):
+    with urllib.request.urlopen(url + path, timeout=30) as r:
+        return r.read()
+
+
+class TestViewerEndpoints:
+    def test_status_and_page(self, viewer):
+        s, state, url = viewer
+        st = json.loads(_get(url, "/status"))
+        assert st["width"] == 32 and st["paused"] is False
+        assert b"cadrays_tpu" in _get(url, "/")
+
+    def test_orbit_rotates_camera_and_restarts(self, viewer):
+        from cadrays_tpu.integrator.progressive import progressive_step
+
+        s, state, url = viewer
+        data = s.scene.flatten(s.camera)
+        st0 = progressive_step(data, s.camera, s.params, 32, 32, None, 1)
+        assert int(st0.spp) == 1
+        eye_before = np.asarray(s.camera.eye).copy()
+        assert _post(url, "/orbit",
+                     {"op": "rotate", "dx": 40, "dy": 0}) == "ok"
+        assert not np.allclose(np.asarray(s.camera.eye), eye_before)
+        # camera is part of the accumulation fingerprint -> restart
+        st1 = progressive_step(data, s.camera, s.params, 32, 32, st0, 1)
+        assert int(st1.spp) == 1  # restarted, not 2
+
+    def test_orbit_pan_and_zoom(self, viewer):
+        s, state, url = viewer
+        at_before = np.asarray(s.camera.at).copy()
+        _post(url, "/orbit", {"op": "pan", "dx": 30, "dy": -10})
+        assert not np.allclose(np.asarray(s.camera.at), at_before)
+        d_before = np.linalg.norm(
+            np.asarray(s.camera.eye) - np.asarray(s.camera.at))
+        _post(url, "/orbit", {"op": "zoom", "dx": 0, "dy": 1})
+        d_after = np.linalg.norm(
+            np.asarray(s.camera.eye) - np.asarray(s.camera.at))
+        assert d_after < d_before
+
+    def test_pick_resolves_node_then_edit(self, viewer):
+        s, state, url = viewer
+        out = _post(url, "/pick", {"x": 16, "y": 16})
+        assert out.startswith("hit s "), out
+        # the selection -> material-edit round trip
+        _post(url, "/exec", "vbsdf s -kd 0.9 0.1 0.1")
+        kd = np.asarray(s.scene.model.get("s").material.kd)[0]
+        np.testing.assert_allclose(kd, [0.9, 0.1, 0.1], atol=1e-6)
+
+    def test_pick_miss(self, viewer):
+        s, state, url = viewer
+        assert _post(url, "/pick", {"x": 1, "y": 1}) == "miss"
+
+    def test_script_editor_roundtrip(self, viewer, tmp_path):
+        """ScriptEditor parity: save / list / load / run / delete
+        (ScriptEditor.cxx:48-64, 134-263)."""
+        s, state, url = viewer
+        s.cwd = str(tmp_path)
+        _post(url, "/script", {"name": "t.crt",
+                               "text": "psphere q 0.1\nvdisplay q\n"})
+        assert json.loads(_get(url, "/scripts")) == ["t.crt"]
+        assert b"psphere q" in _get(url, "/script?name=t.crt")
+        out = _post(url, "/script", {"name": "t.crt",
+                                     "text": "psphere q 0.1\nvdisplay q\n",
+                                     "run": True})
+        assert "saved + run" in out
+        assert s.scene.model.get("q") is not None
+        assert _post(url, "/script_delete", {"name": "t.crt"}) == "deleted"
+        assert json.loads(_get(url, "/scripts")) == []
+
+    def test_script_editor_rejects_bad_names(self, viewer, tmp_path):
+        s, state, url = viewer
+        s.cwd = str(tmp_path)
+        out = _post(url, "/script", {"name": "../evil.sh", "text": "x"})
+        assert "[error]" in out
+
+    def test_pause_toggles(self, viewer):
+        s, state, url = viewer
+        assert _post(url, "/pause") == "paused"
+        assert state.paused is True
+        assert json.loads(_get(url, "/status"))["paused"] is True
+        assert _post(url, "/pause") == "running"
+        assert state.paused is False
