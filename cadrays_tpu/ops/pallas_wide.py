@@ -1,0 +1,346 @@
+"""Pallas wide-BVH (BVH8) packet traversal — the hot kernel.
+
+Replaces the binary threaded walk (ops/pallas_traverse.py) with the wide
+tree from geometry/wide_bvh.py. Per grid program, one block of B rays
+lives in VMEM and a scalar SMEM *stack* drives the walk:
+
+  pop entry e
+    e >= 0 : merged leaf — Moller-Trumbore up to `wide_leaf` triangles,
+             computed as independent chains then tree-reduced (VPU
+             throughput, no serial t-update chain);
+    e <  0 : wide node — slab-test all 8 child boxes against the block,
+             push every child whose box ANY live lane hits.
+
+Why this wins (bench/ROOFLINE.md): the binary kernel's iteration is a
+latency-bound scalar chain (~0.12 us) doing only ~40 VPU flops; an
+incoherent packet walks nearly the whole tree (2.7k nodes for Cornell).
+The wide tree has ~6x fewer entries and each iteration does 8 box tests
+or 16 triangle tests of dense vector work, so the same walk issues far
+fewer scalar chains and keeps the VPU busy.
+
+Instancing (two-level TLAS/BLAS, scene/instances.py): the stack carries
+an instance id per entry; popping an entry whose wide-node children set
+`winst` pushes the child with that instance, and every pop transforms the
+block's rays by `inst_inv[inst]` (identity row for world space). This is
+compiled only for instanced scenes.
+
+Scene-size: nodes are tiny (~T/50 rows); triangles are VMEM-resident up
+to ~VMEM budget and HBM-streamed per-leaf via async DMA beyond that
+(trace_wide picks the variant).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cadrays_tpu.scene.flatten import GeometryData
+
+BLOCK = int(os.environ.get("CADRAYS_WIDE_BLOCK", "2048"))
+_COUNT_SHIFT = 24
+_LEAF_MASK = (1 << _COUNT_SHIFT) - 1
+_INF = 3e30  # python literal: a jnp constant would be captured by pallas
+_VMEM_BUDGET = 12 * 1024 * 1024
+STACK_CAP = 192
+
+
+def fits_wide(geom: GeometryData) -> bool:
+    if geom.wmeta.shape[0] <= 1 and geom.wmeta.shape[1] == 1:
+        return False  # placeholder: no wide tree built
+    need = (geom.wboxes.size + geom.wmeta.size + geom.winst.size
+            + geom.tris_packed.size) * 4 + BLOCK * 4 * 24
+    return need < _VMEM_BUDGET
+
+
+def _slab8(brow, ox, oy, oz, ix, iy, iz, t_cap, k):
+    """Child-k slab test: scalars from the 48-wide row vs (B,) lanes."""
+    b = k * 6
+    tx0 = (brow[b + 0] - ox) * ix
+    ty0 = (brow[b + 1] - oy) * iy
+    tz0 = (brow[b + 2] - oz) * iz
+    tx1 = (brow[b + 3] - ox) * ix
+    ty1 = (brow[b + 4] - oy) * iy
+    tz1 = (brow[b + 5] - oz) * iz
+    t_near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                     jnp.minimum(ty0, ty1)),
+                         jnp.minimum(tz0, tz1))
+    t_far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1))
+    return jnp.maximum(t_near, 0.0) <= jnp.minimum(t_far, t_cap)
+
+
+_ABLATE = os.environ.get("CADRAYS_WIDE_ABLATE", "")
+
+
+def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
+                 instanced: bool, pops: int):
+    """Build the kernel body. Refs (in order):
+    wboxes, wmeta, [winst, instinv], tris, rays, tm -> out,
+    scratch: stack (SMEM), [inst stack (SMEM)].
+    """
+
+    def kernel(*refs):
+        if instanced:
+            (wboxes_ref, wmeta_ref, winst_ref, instinv_ref, tris_ref,
+             rays_ref, tm_ref, out_ref, stack_ref, sp_ref, istk_ref) = refs
+        else:
+            (wboxes_ref, wmeta_ref, tris_ref, rays_ref, tm_ref,
+             out_ref, stack_ref, sp_ref) = refs
+            winst_ref = instinv_ref = istk_ref = None
+
+        ox = rays_ref[0, :]
+        oy = rays_ref[1, :]
+        oz = rays_ref[2, :]
+        dx = rays_ref[3, :]
+        dy = rays_ref[4, :]
+        dz = rays_ref[5, :]
+        tm = tm_ref[0, :]
+        lane_live = tm > 0.0
+
+        def inv(c):
+            safe = jnp.where(jnp.abs(c) < 1e-12,
+                             jnp.where(c >= 0, 1e-12, -1e-12), c)
+            return 1.0 / safe
+
+        if not instanced:
+            ix, iy, iz = inv(dx), inv(dy), inv(dz)
+
+        out_ref[0, :] = jnp.minimum(tm, 1e30)
+        out_ref[1, :] = jnp.full_like(tm, -1.0)
+        out_ref[2, :] = jnp.zeros_like(tm)
+        out_ref[3, :] = jnp.zeros_like(tm)
+
+        stack_ref[0] = jnp.int32(-2)
+        sp_ref[0] = jnp.int32(1)
+        if instanced:
+            istk_ref[0] = jnp.int32(-1)
+
+        def ray_in_space(inst):
+            """Block rays in the entry's coordinate space."""
+            if not instanced:
+                return ox, oy, oz, dx, dy, dz, ix, iy, iz
+            # identity row appended at index I; inst == -1 -> identity
+            n_inst = instinv_ref.shape[0] - 1
+            sel = jnp.where(inst < 0, n_inst, inst)
+            m = instinv_ref[sel, :]  # (12,) [3x4 row-major]
+            lox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+            loy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+            loz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+            ldx = m[0] * dx + m[1] * dy + m[2] * dz
+            ldy = m[4] * dx + m[5] * dy + m[6] * dz
+            ldz = m[8] * dx + m[9] * dy + m[10] * dz
+            return (lox, loy, loz, ldx, ldy, ldz,
+                    inv(ldx), inv(ldy), inv(ldz))
+
+        def do_leaf(e, inst):
+            """Merged-leaf triangle tests (any-hit early-exits via sp)."""
+            lox, loy, loz, ldx, ldy, ldz, _, _, _ = ray_in_space(inst)
+            first = e & _LEAF_MASK
+            count = jax.lax.shift_right_logical(e, _COUNT_SHIFT)
+
+            if _ABLATE == "leafsimple":
+                out_ref[0, :] = (out_ref[0, :]
+                                 + first.astype(jnp.float32) * 1e-30
+                                 + count.astype(jnp.float32) * 1e-30)
+                return
+
+            t_cur = out_ref[0, :]
+            tri_cur = out_ref[1, :]
+            if any_hit:
+                open_ = lane_live & (tri_cur < 0.0)
+            else:
+                open_ = lane_live
+
+            n_unroll = 1 if _ABLATE == "leaf1" else max_leaf
+            cands = []
+            for k in range(n_unroll):
+                live_k = k < count
+                tid = jnp.where(live_k, first + k, 0)
+                trow = tris_ref[tid, :]
+                pvx = ldy * trow[8] - ldz * trow[7]
+                pvy = ldz * trow[6] - ldx * trow[8]
+                pvz = ldx * trow[7] - ldy * trow[6]
+                det = trow[3] * pvx + trow[4] * pvy + trow[5] * pvz
+                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                tvx = lox - trow[0]
+                tvy = loy - trow[1]
+                tvz = loz - trow[2]
+                uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * trow[5] - tvz * trow[4]
+                qvy = tvz * trow[3] - tvx * trow[5]
+                qvz = tvx * trow[4] - tvy * trow[3]
+                vv = (ldx * qvx + ldy * qvy + ldz * qvz) * inv_det
+                tt = (trow[6] * qvx + trow[7] * qvy + trow[8] * qvz) * inv_det
+                eps = 1e-7
+                hit = ((jnp.abs(det) > 1e-12) & (uu >= -eps) & (vv >= -eps)
+                       & (uu + vv <= 1.0 + eps) & (tt > eps) & live_k)
+                cands.append((jnp.where(hit, tt, _INF), uu, vv,
+                              jnp.full_like(tt, jnp.float32(k))))
+
+            # tree-reduce to per-lane best of this leaf
+            while len(cands) > 1:
+                nxt = []
+                for i in range(0, len(cands) - 1, 2):
+                    ta, ua, va, ka = cands[i]
+                    tb, ub, vb, kb = cands[i + 1]
+                    tko = tb < ta
+                    nxt.append((jnp.minimum(ta, tb),
+                                jnp.where(tko, ub, ua),
+                                jnp.where(tko, vb, va),
+                                jnp.where(tko, kb, ka)))
+                if len(cands) % 2:
+                    nxt.append(cands[-1])
+                cands = nxt
+            bt, bu, bv, bk = cands[0]
+
+            better = open_ & (bt < t_cur)
+            out_ref[0, :] = jnp.where(better, bt, t_cur)
+            new_tri = jnp.where(better, first.astype(jnp.float32) + bk,
+                                tri_cur)
+            out_ref[1, :] = new_tri
+            out_ref[2, :] = jnp.where(better, bu, out_ref[2, :])
+            out_ref[3, :] = jnp.where(better, bv, out_ref[3, :])
+            if any_hit:
+                all_done = ~jnp.any((new_tri < 0.0) & lane_live)
+
+                @pl.when(all_done)
+                def _():
+                    sp_ref[0] = jnp.int32(0)
+
+        def do_node(e, inst, sp):
+            """Wide-node box tests + pushes; writes the new sp."""
+            widx = -e - 2
+            brow = wboxes_ref[widx, :]  # (width*6,)
+            lox, loy, loz, ldx, ldy, ldz, lix, liy, liz = ray_in_space(inst)
+            t_cur = out_ref[0, :]
+            if any_hit:
+                open_ = lane_live & (out_ref[1, :] < 0.0)
+                t_cap = jnp.where(open_, t_cur, -1.0)
+            else:
+                t_cap = jnp.where(lane_live, t_cur, -1.0)
+
+            off = sp
+            for k in range(width):
+                hit_k = _slab8(brow, lox, loy, loz, lix, liy, liz, t_cap, k)
+                m_k = wmeta_ref[widx, k]
+                # NB: empty slots' [+inf, -inf] boxes DO pass the slab test
+                # for negative-direction rays ((inf - o) * ix flips sign),
+                # so the sentinel must be masked here — pushing it would
+                # read triangle row 0xFFFFFF out of bounds and fault.
+                push_k = jnp.any(hit_k) & (m_k != jnp.int32(0x7FFFFFFF))
+
+                @pl.when(push_k)
+                def _(off=off, m_k=m_k, k=k):
+                    stack_ref[off] = m_k
+                    if instanced:
+                        i_k = winst_ref[widx, k]
+                        istk_ref[off] = jnp.where(i_k >= 0, i_k, inst)
+
+                off = off + push_k.astype(jnp.int32)
+            sp_ref[0] = off
+
+        def pop_one():
+            top = sp_ref[0] - 1
+            e = stack_ref[top]
+            inst = istk_ref[top] if instanced else jnp.int32(-1)
+            sp_ref[0] = top
+
+            if _ABLATE != "noleaf":
+                @pl.when(e >= 0)
+                def _():
+                    do_leaf(e, inst)
+
+            if _ABLATE != "nonode":
+                @pl.when(e < 0)
+                def _():
+                    do_node(e, inst, top)
+
+        def cond(sp):
+            return sp > 0
+
+        def body(sp):
+            pop_one()
+            for _ in range(pops - 1):
+                @pl.when(sp_ref[0] > 0)
+                def _():
+                    pop_one()
+            return sp_ref[0]
+
+        jax.lax.while_loop(cond, body, jnp.int32(1))
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("any_hit", "interpret", "pops", "block"))
+def trace_wide(geom: GeometryData, origin, direction, t_max,
+               any_hit: bool = False, interpret: bool = False,
+               pops: int = 1, block: int | None = None):
+    """Wide-BVH traversal; contract of ops.traverse.trace."""
+    R = origin.shape[0]
+    B = block if block is not None else BLOCK
+    nb = -(-R // B)
+    pad = nb * B - R
+
+    rays = jnp.concatenate([origin.T, direction.T], axis=0)  # (6, R)
+    rays = jnp.pad(rays, ((0, 0), (0, pad)))
+    tm = jnp.pad(jnp.broadcast_to(t_max, (R,)), (0, pad))[None]
+
+    width = geom.wmeta.shape[1]
+    max_leaf = int(geom.wide_leaf)
+    instanced = geom.instanced
+
+    in_specs = [
+        pl.BlockSpec(geom.wboxes.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(geom.wmeta.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [geom.wboxes, geom.wmeta]
+    if instanced:
+        n_inst = geom.inst_inv.shape[0]
+        instinv = jnp.concatenate([
+            geom.inst_inv.reshape(n_inst, 12),
+            jnp.asarray([[1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0]],
+                        jnp.float32),
+        ], axis=0)
+        in_specs += [
+            pl.BlockSpec(geom.winst.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(instinv.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [geom.winst, instinv]
+    in_specs += [
+        pl.BlockSpec(geom.tris_packed.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((6, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    args += [geom.tris_packed, rays, tm]
+
+    scratch = [pltpu.SMEM((STACK_CAP,), jnp.int32),
+               pltpu.SMEM((1,), jnp.int32)]
+    if instanced:
+        scratch.append(pltpu.SMEM((STACK_CAP,), jnp.int32))
+
+    out = pl.pallas_call(
+        _make_kernel(any_hit=any_hit, max_leaf=max_leaf, width=width,
+                     instanced=instanced, pops=pops),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((4, B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, nb * B), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+
+    t = out[0, :R]
+    tri = out[1, :R].astype(jnp.int32)
+    return {"t": t, "tri": tri, "u": out[2, :R], "v": out[3, :R]}

@@ -56,7 +56,7 @@ def _tri_intersect_packed(origin, direction, trow):
 _BACKEND = None  # lazy: "stream" on TPU, "gather" elsewhere
 
 
-_BACKENDS = ("bruteforce", "pallas", "stream", "gather")
+_BACKENDS = ("bruteforce", "wide", "pallas", "stream", "gather")
 
 
 def get_backend() -> str:
@@ -68,11 +68,9 @@ def get_backend() -> str:
         if env in _BACKENDS:
             _BACKEND = env
         else:
-            # pallas wins end-to-end once the wavefront keeps rays sorted
-            # per bounce (measured: 5.1M vs 3.5M rays/s fwd+bwd on the
-            # Cornell bench); bruteforce stays available for workloads
-            # with hopelessly incoherent rays.
-            _BACKEND = "pallas" if jax.default_backend() == "tpu" else "gather"
+            # wide (BVH8) is the fast path on TPU; it falls through to the
+            # binary pallas kernel / stream loop when no wide tree fits.
+            _BACKEND = "wide" if jax.default_backend() == "tpu" else "gather"
     return _BACKEND
 
 
@@ -112,6 +110,13 @@ def trace(geom: GeometryData, origin, direction, t_max,
         if fits_bruteforce(geom):
             return trace_bruteforce(geom_, origin_, direction_, t_max_,
                                     any_hit=any_hit)
+        backend = "wide"
+    if backend == "wide":
+        from cadrays_tpu.ops.pallas_wide import fits_wide, trace_wide
+
+        if fits_wide(geom):
+            return trace_wide(geom_, origin_, direction_, t_max_,
+                              any_hit=any_hit)
         backend = "pallas"
     if backend == "pallas":
         from cadrays_tpu.ops.pallas_traverse import fits_vmem, trace_pallas

@@ -72,6 +72,17 @@ class GeometryData:
         default_factory=lambda: jnp.eye(3, 4, dtype=jnp.float32)[None])
     # (I, 3, 4) object->world
     instanced: bool = flax.struct.field(pytree_node=False, default=False)
+    # --- wide (BVH8) tables for the packet hot path (geometry/wide_bvh) --
+    # placeholder (1, 1) wmeta = "no wide tree built"; ops/pallas_wide
+    # falls back to the binary kernels then.
+    wboxes: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((1, 6), jnp.float32))
+    wmeta: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.full((1, 1), 0x7FFFFFFF, jnp.int32))
+    winst: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.full((1, 1), -1, jnp.int32))
+    wide_leaf: int = flax.struct.field(pytree_node=False, default=16)
+    wide_depth: int = flax.struct.field(pytree_node=False, default=0)
 
     @property
     def num_triangles(self) -> int:
@@ -295,6 +306,11 @@ def flatten_parts(
     tri_mat = tri_mat[bvh.order]
     nodes_packed, tris_packed = pack_geometry(vertices, tri_v, tri_mat, bvh)
 
+    from cadrays_tpu.geometry.wide_bvh import build_wide_bvh
+
+    wide = build_wide_bvh(bvh.node_min, bvh.node_max, bvh.skip,
+                          bvh.first, bvh.count)
+
     geom = GeometryData(
         vertices=jnp.asarray(vertices),
         normals=jnp.asarray(normals),
@@ -308,6 +324,11 @@ def flatten_parts(
         bvh_count=jnp.asarray(bvh.count),
         nodes_packed=jnp.asarray(nodes_packed),
         tris_packed=jnp.asarray(tris_packed),
+        wboxes=jnp.asarray(wide.wboxes),
+        wmeta=jnp.asarray(wide.wmeta),
+        winst=jnp.asarray(wide.winst),
+        wide_leaf=wide.max_leaf,
+        wide_depth=wide.max_depth,
     )
 
     mat_table = concat_materials(list(materials))

@@ -206,6 +206,14 @@ def build_instanced(
         inst_inv[i] = np.linalg.inv(m)[:3, :4].astype(np.float32)
         inst_tf[i] = m[:3, :4].astype(np.float32)
 
+    from cadrays_tpu.geometry.wide_bvh import build_wide_bvh
+
+    bridge_mask = np.zeros(N, bool)
+    bridge_mask[leaf_ids] = True  # TLAS leaves became bridges
+    wide = build_wide_bvh(node_min, node_max, skip, first, count,
+                          descend=descend, node_inst=node_inst,
+                          bridge=bridge_mask)
+
     geom = GeometryData(
         vertices=jnp.asarray(vertices),
         normals=jnp.asarray(normals),
@@ -224,6 +232,11 @@ def build_instanced(
         inst_inv=jnp.asarray(inst_inv),
         inst_tf=jnp.asarray(inst_tf),
         instanced=True,
+        wboxes=jnp.asarray(wide.wboxes),
+        wmeta=jnp.asarray(wide.wmeta),
+        winst=jnp.asarray(wide.winst),
+        wide_leaf=wide.max_leaf,
+        wide_depth=wide.max_depth,
     )
 
     mat_table = concat_materials(list(materials))
