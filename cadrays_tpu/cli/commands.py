@@ -633,7 +633,6 @@ class Console(ModelingMixin):
     def cmd_vcamera(self, args):
         cam = self.session.camera
         i = 0
-        import jax.numpy as jnp
 
         while i < len(args):
             a = args[i].lower()
@@ -643,18 +642,19 @@ class Console(ModelingMixin):
             elif a in ("-ortho", "-orthographic"):
                 cam = cam.replace(projection=ORTHOGRAPHIC)
             elif a == "-fovy":
-                cam = cam.replace(fovy_deg=jnp.float32(float(args[i])))
+                cam = cam.replace(fovy_deg=np.float32(float(args[i])))
                 i += 1
             elif a == "-aperture":
-                cam = cam.replace(aperture=jnp.float32(float(args[i])))
+                cam = cam.replace(aperture=np.float32(float(args[i])))
                 i += 1
             elif a in ("-focus", "-focal"):
-                cam = cam.replace(focal_dist=jnp.float32(float(args[i])))
+                cam = cam.replace(focal_dist=np.float32(float(args[i])))
                 i += 1
             elif a == "-distance":
-                fwd = np.asarray(cam.basis()[2])
+                fwd = cam.basis_np()[2]
                 at = np.asarray(cam.at)
-                cam = cam.replace(eye=jnp.asarray(at - fwd * float(args[i])))
+                cam = cam.replace(
+                    eye=np.asarray(at - fwd * float(args[i]), np.float32))
                 i += 1
             else:
                 raise CommandError(f"vcamera: unknown flag {a}")
@@ -664,23 +664,22 @@ class Console(ModelingMixin):
 
     def cmd_vviewparams(self, args):
         cam = self.session.camera
-        import jax.numpy as jnp
 
         i = 0
         while i < len(args):
             a = args[i].lower()
             i += 1
             if a == "-eye":
-                cam = cam.replace(eye=jnp.asarray(_floats(args, i, 3),
-                                                  jnp.float32))
+                cam = cam.replace(eye=np.asarray(_floats(args, i, 3),
+                                                 np.float32))
                 i += 3
             elif a == "-at":
-                cam = cam.replace(at=jnp.asarray(_floats(args, i, 3),
-                                                 jnp.float32))
+                cam = cam.replace(at=np.asarray(_floats(args, i, 3),
+                                                np.float32))
                 i += 3
             elif a == "-up":
-                cam = cam.replace(up=jnp.asarray(_floats(args, i, 3),
-                                                 jnp.float32))
+                cam = cam.replace(up=np.asarray(_floats(args, i, 3),
+                                                np.float32))
                 i += 3
             elif a == "-proj":
                 # direction from at to eye
@@ -689,10 +688,10 @@ class Console(ModelingMixin):
                 dist = float(np.linalg.norm(
                     np.asarray(cam.eye) - np.asarray(cam.at)))
                 v = v / max(np.linalg.norm(v), 1e-9)
-                cam = cam.replace(eye=jnp.asarray(
-                    np.asarray(cam.at) + v * dist))
+                cam = cam.replace(eye=np.asarray(
+                    np.asarray(cam.at) + v * dist, np.float32))
             elif a == "-size":
-                cam = cam.replace(ortho_scale=jnp.float32(float(args[i]) / 2))
+                cam = cam.replace(ortho_scale=np.float32(float(args[i]) / 2))
                 i += 1
             else:
                 raise CommandError(f"vviewparams: unknown flag {a}")
@@ -715,8 +714,6 @@ class Console(ModelingMixin):
         return np.min(los, axis=0), np.max(his, axis=0)
 
     def _view_preset(self, direction, up):
-        import jax.numpy as jnp
-
         lo, hi = self._scene_bounds()
         center = (lo + hi) / 2
         radius = float(np.linalg.norm(hi - lo)) / 2 + 1e-6
@@ -725,10 +722,10 @@ class Console(ModelingMixin):
         fov = float(self.session.camera.fovy_deg)
         dist = radius / math.tan(math.radians(fov) / 2) * 1.2
         cam = self.session.camera.replace(
-            eye=jnp.asarray(center - d * dist, jnp.float32),
-            at=jnp.asarray(center, jnp.float32),
-            up=jnp.asarray(up, jnp.float32),
-            ortho_scale=jnp.float32(radius * 1.2),
+            eye=np.asarray(center - d * dist, np.float32),
+            at=np.asarray(center, np.float32),
+            up=np.asarray(up, np.float32),
+            ortho_scale=np.float32(radius * 1.2),
         )
         self.session.camera = cam
         self.session.scene.camera = cam
@@ -763,14 +760,13 @@ class Console(ModelingMixin):
 
     def cmd_vfit(self, args):
         cam = self.session.camera
-        self._view_preset(np.asarray(cam.basis()[2]), np.asarray(cam.up))
+        self._view_preset(cam.basis_np()[2], np.asarray(cam.up))
         return ""
 
     # =======================================================================
     # render params
     # =======================================================================
     def cmd_vrenderparams(self, args):
-        import jax.numpy as jnp
 
         p = self.session.params
         tm = p.tonemap
@@ -788,7 +784,7 @@ class Console(ModelingMixin):
                 p = p.replace(ray_depth=int(args[i]))
                 i += 1
             elif a in ("-clamping", "-radianceclamping"):
-                p = p.replace(radiance_clamp=jnp.float32(float(args[i])))
+                p = p.replace(radiance_clamp=np.float32(float(args[i])))
                 i += 1
             elif a == "-iss":
                 p = p.replace(adaptive=True)
@@ -815,10 +811,10 @@ class Console(ModelingMixin):
                 tm = tm.replace(method=TONE_FILMIC if val == "filmic"
                                 else TONE_DISABLED)
             elif a == "-exposure":
-                tm = tm.replace(exposure=jnp.float32(float(args[i])))
+                tm = tm.replace(exposure=np.float32(float(args[i])))
                 i += 1
             elif a == "-whitepoint":
-                tm = tm.replace(white_point=jnp.float32(float(args[i])))
+                tm = tm.replace(white_point=np.float32(float(args[i])))
                 i += 1
             elif a == "-msaa":
                 i += 1  # accepted for script parity; raster AA is spp here
@@ -841,14 +837,13 @@ class Console(ModelingMixin):
         raise CommandError("vtextureenv: expected on <file> | off")
 
     def cmd_vbackground(self, args):
-        import jax.numpy as jnp
 
         if args and args[0].lower() == "-env":
             self.session.scene.set_env_background(bool(int(args[1])))
             return ""
         vals = _floats(args, 0, 3)
         self.session.params = self.session.params.replace(
-            background_color=jnp.asarray(_rgb(vals), jnp.float32))
+            background_color=np.asarray(_rgb(vals), np.float32))
         return ""
 
     def cmd_vrtsize(self, args):

@@ -37,15 +37,14 @@ def _cam_basis(cam: Camera):
 
 
 def _replace(cam: Camera, eye=None, at=None, up=None) -> Camera:
-    import jax.numpy as jnp
-
+    # host numpy: interactive controls must never touch the device
     out = cam
     if eye is not None:
-        out = out.replace(eye=jnp.asarray(eye, jnp.float32))
+        out = out.replace(eye=np.asarray(eye, np.float32))
     if at is not None:
-        out = out.replace(at=jnp.asarray(at, jnp.float32))
+        out = out.replace(at=np.asarray(at, np.float32))
     if up is not None:
-        out = out.replace(up=jnp.asarray(up, jnp.float32))
+        out = out.replace(up=np.asarray(up, np.float32))
     return out
 
 
@@ -96,9 +95,7 @@ class OrbitControls:
             offset = offset / max(np.linalg.norm(offset), 1e-12) * 1e-4
         out = _replace(cam, eye=at + offset)
         if cam.projection != PERSPECTIVE:
-            import jax.numpy as jnp
-
-            out = out.replace(ortho_scale=jnp.float32(
+            out = out.replace(ortho_scale=np.float32(
                 float(cam.ortho_scale) * scale))
         return out
 

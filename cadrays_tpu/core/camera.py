@@ -47,15 +47,23 @@ class Camera:
         ortho_scale=1.0,
         projection=PERSPECTIVE,
     ) -> "Camera":
-        f32 = jnp.float32
+        # Leaves are HOST numpy: the interactive surface (console, view
+        # presets, orbit/flight controls) reads camera scalars constantly,
+        # and a device-resident scalar costs a full tunnel readback per
+        # read (measured: seconds per `float(...)` on the remote chip).
+        # jit traces numpy leaves exactly like device ones, so the render
+        # path is unchanged.
+        import numpy as np
+
+        f32 = np.float32
         return cls(
-            eye=jnp.asarray(eye, f32),
-            at=jnp.asarray(at, f32),
-            up=jnp.asarray(up, f32),
-            fovy_deg=jnp.asarray(fovy_deg, f32),
-            aperture=jnp.asarray(aperture, f32),
-            focal_dist=jnp.asarray(focal_dist, f32),
-            ortho_scale=jnp.asarray(ortho_scale, f32),
+            eye=np.asarray(eye, f32),
+            at=np.asarray(at, f32),
+            up=np.asarray(up, f32),
+            fovy_deg=f32(fovy_deg),
+            aperture=f32(aperture),
+            focal_dist=f32(focal_dist),
+            ortho_scale=f32(ortho_scale),
             projection=int(projection),
         )
 
@@ -65,6 +73,20 @@ class Camera:
         right = vm.normalize(jnp.cross(fwd, self.up))
         up = jnp.cross(right, fwd)
         return right, up, fwd
+
+    def basis_np(self):
+        """Host-side view basis (numpy, no device dispatch) for the
+        interactive command surface."""
+        import numpy as np
+
+        fwd = np.asarray(self.at, np.float64) - np.asarray(self.eye,
+                                                           np.float64)
+        fwd /= max(np.linalg.norm(fwd), 1e-12)
+        right = np.cross(fwd, np.asarray(self.up, np.float64))
+        right /= max(np.linalg.norm(right), 1e-12)
+        up = np.cross(right, fwd)
+        return (right.astype(np.float32), up.astype(np.float32),
+                fwd.astype(np.float32))
 
     def generate_rays(self, px, py, u_lens0, u_lens1, width, height):
         """Map film samples to world rays.

@@ -41,7 +41,7 @@ import sys
 import numpy as np
 
 WIDTH = 8
-WIDE_LEAF = 16
+WIDE_LEAF = 64
 _COUNT_SHIFT = 24
 _BIG = 1 << 30
 

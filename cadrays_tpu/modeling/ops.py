@@ -162,10 +162,11 @@ def _split_loop_at_corners(loop: np.ndarray,
 
 
 def _weld_faces(v, t, f, tol=1e-9):
+    from cadrays_tpu.modeling.topo import unique_rows_int
+
     scale = max(float(np.max(np.ptp(v, axis=0))), 1e-9)
     q = np.round(v / (tol * scale * 10)).astype(np.int64)
-    _, first, inv = np.unique(q, axis=0, return_index=True,
-                              return_inverse=True)
+    first, inv = unique_rows_int(q)
     nv = v[first]
     nt = inv[t]
     ok = ((nt[:, 0] != nt[:, 1]) & (nt[:, 1] != nt[:, 2])

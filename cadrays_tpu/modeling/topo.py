@@ -356,6 +356,26 @@ def to_triangle_mesh(shape: Shape):
     return TriangleMesh(v.astype(np.float32), t)
 
 
+def unique_rows_int(q: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(first_indices, inverse) for unique rows of an int matrix.
+
+    Same contract as np.unique(q, axis=0, return_index=True,
+    return_inverse=True)[1:], but via lexsort — np.unique's axis=0 path
+    sorts a void view and measured ~10 s across Bottle.tcl's welds."""
+    if len(q) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    order = np.lexsort(q.T[::-1])
+    qs = q[order]
+    new_group = np.empty(len(q), bool)
+    new_group[0] = True
+    np.any(qs[1:] != qs[:-1], axis=1, out=new_group[1:])
+    gid_sorted = np.cumsum(new_group) - 1
+    inv = np.empty(len(q), np.int64)
+    inv[order] = gid_sorted
+    first = order[new_group]
+    return first, inv
+
+
 def weld_vertices(verts: np.ndarray, tris: np.ndarray,
                   tol: float = _MERGE_TOL) -> Tuple[np.ndarray, np.ndarray]:
     """Merge coincident vertices (quantized hash) and drop degenerates."""
@@ -363,8 +383,7 @@ def weld_vertices(verts: np.ndarray, tris: np.ndarray,
         return verts, tris
     scale = max(float(np.max(np.ptp(verts, axis=0))), 1e-9)
     q = np.round(verts / (tol * scale)).astype(np.int64)
-    _, first, inv = np.unique(q, axis=0, return_index=True,
-                              return_inverse=True)
+    first, inv = unique_rows_int(q)
     nv = verts[first]
     nt = inv[tris]
     ok = ((nt[:, 0] != nt[:, 1]) & (nt[:, 1] != nt[:, 2])
