@@ -77,6 +77,9 @@ def _load() -> ctypes.CDLL:
             P(P(ctypes.c_int32)), P(P(ctypes.c_int32)), P(P(ctypes.c_int32)),
         ]
         lib.crt_csg_free.argtypes = [ctypes.c_void_p]
+        lib.crt_ear_clip.restype = ctypes.c_int64
+        lib.crt_ear_clip.argtypes = [P(ctypes.c_double), ctypes.c_int64,
+                                     P(ctypes.c_int32)]
         _lib = lib
         return lib
 
@@ -156,51 +159,44 @@ def _retag_coplanar(v, t, f, owner, vb, tb, fb, na,
         w = np.einsum("ij,ij->i", n, verts[tris[:, 0]])
         return n, w, ok
 
-    nb, wb, okb = tri_planes(vb, tb)
-    # plane hash for B triangles (sign-canonical)
-    flip = (nb[:, 0] < -1e-12) | ((np.abs(nb[:, 0]) <= 1e-12)
-                                  & (nb[:, 1] < -1e-12)) \
-        | ((np.abs(nb[:, 0]) <= 1e-12) & (np.abs(nb[:, 1]) <= 1e-12)
-           & (nb[:, 2] < 0))
-    nb_c = np.where(flip[:, None], -nb, nb)
-    wb_c = np.where(flip, -wb, wb)
-    keyb = np.round(np.concatenate([nb_c, wb_c[:, None] / scale], axis=1)
-                    / 1e-5).astype(np.int64)
-    from collections import defaultdict
+    def plane_keys(verts, tris):
+        """Sign-canonical quantized plane key rows (K, 4) + validity."""
+        n, w, ok = tri_planes(verts, tris)
+        flip = (n[:, 0] < -1e-12) | ((np.abs(n[:, 0]) <= 1e-12)
+                                     & (n[:, 1] < -1e-12)) \
+            | ((np.abs(n[:, 0]) <= 1e-12) & (np.abs(n[:, 1]) <= 1e-12)
+               & (n[:, 2] < 0))
+        n_c = np.where(flip[:, None], -n, n)
+        w_c = np.where(flip, -w, w)
+        key = np.round(np.concatenate([n_c, w_c[:, None] / scale], axis=1)
+                       / 1e-5).astype(np.int64)
+        return key, ok
 
-    bmap = defaultdict(list)
-    for i in range(len(tb)):
-        if okb[i]:
-            bmap[tuple(keyb[i])].append(i)
-
-    nr, wr, okr = tri_planes(v, t)
-    flip_r = (nr[:, 0] < -1e-12) | ((np.abs(nr[:, 0]) <= 1e-12)
-                                    & (nr[:, 1] < -1e-12)) \
-        | ((np.abs(nr[:, 0]) <= 1e-12) & (np.abs(nr[:, 1]) <= 1e-12)
-           & (nr[:, 2] < 0))
-    nr_c = np.where(flip_r[:, None], -nr, nr)
-    wr_c = np.where(flip_r, -wr, wr)
-    keyr = np.round(np.concatenate([nr_c, wr_c[:, None] / scale], axis=1)
-                    / 1e-5).astype(np.int64)
-    cents = v[t].mean(axis=1)
+    keyb, okb = plane_keys(vb, tb)
+    keyr, okr = plane_keys(v, t)
+    cand = np.flatnonzero((owner == 0) & okr)
+    bsel = np.flatnonzero(okb)
     out = f.copy()
-    # vectorized per plane group: all candidate centroids vs all B tris of
-    # that plane at once (the scalar-python version measured ~22 s on
-    # Bottle.tcl's 23 booleans; this pass is ~milliseconds)
-    cand_mask = (owner == 0) & okr
-    cand_idx = np.flatnonzero(cand_mask)
-    if len(cand_idx) == 0:
+    if len(cand) == 0 or len(bsel) == 0:
         return out
-    key_to_cands = defaultdict(list)
-    for i in cand_idx:
-        key_to_cands[tuple(keyr[i])].append(i)
-    for key, b_ids in bmap.items():
-        cs = key_to_cands.get(key)
-        if not cs:
-            continue
-        ci = np.asarray(cs)
-        bj = np.asarray(b_ids)
-        inside = _points_in_tris_3d(cents[ci], vb[tb[bj, 0]],
+
+    # group both sides by shared plane key: one lexsort over the stacked
+    # keys; groups containing rows from both sides get a batched
+    # point-in-triangle test (the dict/scalar version measured ~20 s on
+    # Bottle.tcl; this is all-numpy)
+    from cadrays_tpu.modeling.topo import unique_rows_int
+
+    allk = np.concatenate([keyr[cand], keyb[bsel]])
+    _, gid = unique_rows_int(allk)
+    gr = gid[:len(cand)]
+    gb = gid[len(cand):]
+    in_both = np.intersect1d(gr, gb)
+    if len(in_both) == 0:
+        return out
+    for g in in_both:
+        ci = cand[gr == g]
+        bj = bsel[gb == g]
+        inside = _points_in_tris_3d(v[t[ci]].mean(axis=1), vb[tb[bj, 0]],
                                     vb[tb[bj, 1]], vb[tb[bj, 2]])
         hit_any = inside.any(axis=1)
         firstj = inside.argmax(axis=1)

@@ -154,6 +154,10 @@ def triangulate(outer: Sequence, holes: Sequence = ()) -> Tuple[
         poly = _bridge_hole(poly, h)
 
     verts = poly
+    tris = _ear_clip_native(verts)
+    if tris is not None:
+        return verts, tris
+
     n = len(verts)
     idx = list(range(n))
     tris: List[Tuple[int, int, int]] = []
@@ -200,3 +204,27 @@ def triangulate(outer: Sequence, holes: Sequence = ()) -> Tuple[
     if len(idx) == 3:
         tris.append((idx[0], idx[1], idx[2]))
     return verts, np.asarray(tris, np.int32)
+
+
+def _ear_clip_native(verts: np.ndarray):
+    """C++ ear clip (same algorithm/tolerances as the python loop below);
+    returns tris or None when the native library is unavailable."""
+    try:
+        from cadrays_tpu.modeling.csg import _load
+    except Exception:
+        return None
+    try:
+        lib = _load()
+    except Exception:
+        return None
+    import ctypes
+
+    v = np.ascontiguousarray(verts, np.float64)
+    n = len(v)
+    out = np.empty((max(n - 2, 1), 3), np.int32)
+    P = ctypes.POINTER
+    nt = lib.crt_ear_clip(v.ctypes.data_as(P(ctypes.c_double)), n,
+                          out.ctypes.data_as(P(ctypes.c_int32)))
+    if nt < 0:
+        return None
+    return out[:nt].copy()

@@ -1,11 +1,23 @@
-// Mesh boolean operations via BSP solid clipping (csg.js algorithm).
+// Mesh boolean operations via BSP solid clipping (csg.js algorithm,
+// re-derived in list form with AABB culling).
 //
 // TPU-native replacement for the reference's OCCT boolean commands
 // (bcut/bfuse/bcommon/bop — driven by data/scripts/*.tcl). The modeling
 // layer works on watertight triangle meshes with per-triangle face ids,
-// so booleans are mesh-level: build a BSP tree per operand, clip each
-// operand's polygons against the other solid, merge. Face ids survive
-// clipping, keeping `explode <r> f` meaningful after a boolean.
+// so booleans are mesh-level: build a BSP *classification* tree per
+// operand, clip the other operand's polygons through it, merge lists.
+// Face ids survive clipping, keeping `explode <r> f` meaningful after a
+// boolean.
+//
+// Two structural optimizations over the textbook csg.js formulation
+// (measured ~2.2 s/boolean on Bottle.tcl's threaded-neck fuses before):
+//  * polygons whose AABB misses the other operand's AABB are routed
+//    straight to the output (or dropped) by op-specific rules — only the
+//    overlap region pays BSP clipping;
+//  * the final `A.build(B.allPolygons())` merge tree of csg.js is
+//    replaced by list concatenation (+ a global flip where the original
+//    ended with A.invert()) — the merge build only re-split polygons, it
+//    never filtered anything.
 //
 // ABI (ctypes): flat float64/int32 arrays in, malloc'd arrays out,
 // crt_csg_free releases. Operation codes: 0=union 1=subtract 2=intersect.
@@ -61,30 +73,36 @@ struct Polygon {
   }
 };
 
+void flip_all(std::vector<Polygon>& ps) {
+  for (auto& p : ps) p.flip();
+}
+
 enum { COPLANAR = 0, FRONT = 1, BACK = 2, SPANNING = 3 };
 
-void split_polygon(const Plane& pl, const Polygon& poly,
+void split_polygon(const Plane& pl, Polygon&& poly,
                    std::vector<Polygon>& cofront,
                    std::vector<Polygon>& coback,
                    std::vector<Polygon>& front,
                    std::vector<Polygon>& back) {
   int poly_type = 0;
-  std::vector<int> types(poly.v.size());
-  for (size_t i = 0; i < poly.v.size(); ++i) {
-    double t = pl.n.dot(poly.v[i]) - pl.w;
+  static thread_local std::vector<int> types;
+  types.clear();
+  for (const auto& vv : poly.v) {
+    double t = pl.n.dot(vv) - pl.w;
     int ty = (t < -EPS) ? BACK : (t > EPS) ? FRONT : COPLANAR;
     poly_type |= ty;
-    types[i] = ty;
+    types.push_back(ty);
   }
   switch (poly_type) {
     case COPLANAR:
-      (pl.n.dot(poly.plane.n) > 0 ? cofront : coback).push_back(poly);
+      (pl.n.dot(poly.plane.n) > 0 ? cofront : coback)
+          .push_back(std::move(poly));
       break;
     case FRONT:
-      front.push_back(poly);
+      front.push_back(std::move(poly));
       break;
     case BACK:
-      back.push_back(poly);
+      back.push_back(std::move(poly));
       break;
     case SPANNING: {
       Polygon f, b;
@@ -112,13 +130,13 @@ void split_polygon(const Plane& pl, const Polygon& poly,
   }
 }
 
+// Classification-only BSP: planes + children encode the solid; stored
+// polygons are not needed after build (clipping uses structure only).
 struct Node {
   Plane plane;
   std::unique_ptr<Node> front, back;
-  std::vector<Polygon> polygons;
 
   void invert() {
-    for (auto& p : polygons) p.flip();
     plane.flip();
     if (front) front->invert();
     if (back) back->invert();
@@ -129,25 +147,14 @@ struct Node {
     if (!plane.ok) return list;
     std::vector<Polygon> f, b;
     for (auto& p : list) {
-      split_polygon(plane, p, f, b, f, b);
+      split_polygon(plane, std::move(p), f, b, f, b);
     }
     if (front) f = front->clip_polygons(std::move(f));
     if (back) b = back->clip_polygons(std::move(b));
-    else b.clear();
-    f.insert(f.end(), b.begin(), b.end());
+    else b.clear();  // no back child: back half-space is inside the solid
+    f.insert(f.end(), std::make_move_iterator(b.begin()),
+             std::make_move_iterator(b.end()));
     return f;
-  }
-
-  void clip_to(const Node& bsp) {
-    polygons = bsp.clip_polygons(std::move(polygons));
-    if (front) front->clip_to(bsp);
-    if (back) back->clip_to(bsp);
-  }
-
-  void all_polygons(std::vector<Polygon>& out) const {
-    out.insert(out.end(), polygons.begin(), polygons.end());
-    if (front) front->all_polygons(out);
-    if (back) back->all_polygons(out);
   }
 
   void build(std::vector<Polygon> list) {
@@ -185,9 +192,9 @@ struct Node {
         if (!plane.ok) return;
       }
     }
-    std::vector<Polygon> f, b;
+    std::vector<Polygon> co, f, b;
     for (auto& p : list) {
-      split_polygon(plane, p, polygons, polygons, f, b);
+      split_polygon(plane, std::move(p), co, co, f, b);
     }
     if (!f.empty()) {
       if (!front) front = std::make_unique<Node>();
@@ -200,9 +207,24 @@ struct Node {
   }
 };
 
+struct AABB {
+  Vec lo{1e300, 1e300, 1e300}, hi{-1e300, -1e300, -1e300};
+  void add(const Vec& v) {
+    lo.x = std::min(lo.x, v.x); lo.y = std::min(lo.y, v.y);
+    lo.z = std::min(lo.z, v.z);
+    hi.x = std::max(hi.x, v.x); hi.y = std::max(hi.y, v.y);
+    hi.z = std::max(hi.z, v.z);
+  }
+  bool overlaps(const AABB& o, double eps) const {
+    return lo.x <= o.hi.x + eps && hi.x >= o.lo.x - eps &&
+           lo.y <= o.hi.y + eps && hi.y >= o.lo.y - eps &&
+           lo.z <= o.hi.z + eps && hi.z >= o.lo.z - eps;
+  }
+};
+
 std::vector<Polygon> mesh_to_polys(const double* verts, const int32_t* tris,
                                    int64_t n_tris, const int32_t* face_id,
-                                   int owner) {
+                                   int owner, AABB& box) {
   std::vector<Polygon> out;
   out.reserve(n_tris);
   for (int64_t t = 0; t < n_tris; ++t) {
@@ -210,6 +232,7 @@ std::vector<Polygon> mesh_to_polys(const double* verts, const int32_t* tris,
     for (int k = 0; k < 3; ++k) {
       const double* v = verts + 3 * tris[3 * t + k];
       p.v.push_back({v[0], v[1], v[2]});
+      box.add(p.v.back());
     }
     p.plane = Plane::from_points(p.v[0], p.v[1], p.v[2]);
     if (!p.plane.ok) continue;  // degenerate input triangle
@@ -218,6 +241,18 @@ std::vector<Polygon> mesh_to_polys(const double* verts, const int32_t* tris,
     out.push_back(std::move(p));
   }
   return out;
+}
+
+// Partition into (near = AABB overlaps other box, far = disjoint).
+void partition_near(std::vector<Polygon>& polys, const AABB& other,
+                    double eps, std::vector<Polygon>& near_out,
+                    std::vector<Polygon>& far_out) {
+  for (auto& p : polys) {
+    AABB pb;
+    for (const auto& v : p.v) pb.add(v);
+    (pb.overlaps(other, eps) ? near_out : far_out).push_back(std::move(p));
+  }
+  polys.clear();
 }
 
 struct Result {
@@ -246,6 +281,11 @@ void polys_to_mesh(const std::vector<Polygon>& polys, Result& r) {
   }
 }
 
+void append(std::vector<Polygon>& dst, std::vector<Polygon>&& src) {
+  dst.insert(dst.end(), std::make_move_iterator(src.begin()),
+             std::make_move_iterator(src.end()));
+}
+
 }  // namespace
 
 extern "C" {
@@ -261,70 +301,165 @@ int64_t crt_csg(int32_t op,
                 int32_t** out_tris, int32_t** out_face,
                 int32_t** out_owner) {
   (void)nva; (void)nvb;
-  auto pa = mesh_to_polys(va, ta, nta, fa, 0);
-  auto pb = mesh_to_polys(vb, tb, ntb, fb, 1);
+  AABB boxa, boxb;
+  auto pa = mesh_to_polys(va, ta, nta, fa, 0, boxa);
+  auto pb = mesh_to_polys(vb, tb, ntb, fb, 1, boxb);
   if (pa.empty() || pb.empty()) return -1;
+  double diag = std::max({boxa.hi.x - boxa.lo.x, boxa.hi.y - boxa.lo.y,
+                          boxa.hi.z - boxa.lo.z, boxb.hi.x - boxb.lo.x,
+                          boxb.hi.y - boxb.lo.y, boxb.hi.z - boxb.lo.z});
+  double eps = 1e-6 * diag + 1e-12;
 
-  Node a, b;
-  if (op == 1) {
-    // A - B  ==  ~(~A | B)
-    a.build(std::move(pa));
-    b.build(std::move(pb));
-    a.invert();
-    a.clip_to(b);
-    b.clip_to(a);
-    b.invert();
-    b.clip_to(a);
-    b.invert();
-    std::vector<Polygon> bp;
-    b.all_polygons(bp);
-    a.build(std::move(bp));
-    a.invert();
-  } else if (op == 2) {
-    // A & B  ==  ~(~A | ~B)
-    a.build(std::move(pa));
-    b.build(std::move(pb));
-    a.invert();
-    b.clip_to(a);
-    b.invert();
-    a.clip_to(b);
-    b.clip_to(a);
-    std::vector<Polygon> bp;
-    b.all_polygons(bp);
-    a.build(std::move(bp));
-    a.invert();
-  } else {
-    a.build(std::move(pa));
-    b.build(std::move(pb));
-    a.clip_to(b);
-    b.clip_to(a);
-    b.invert();
-    b.clip_to(a);
-    b.invert();
-    std::vector<Polygon> bp;
-    b.all_polygons(bp);
-    a.build(std::move(bp));
+  std::vector<Polygon> pa_near, pa_far, pb_near, pb_far;
+  partition_near(pa, boxb, eps, pa_near, pa_far);
+  partition_near(pb, boxa, eps, pb_near, pb_far);
+
+  // classification trees over the FULL operands (solidity needs every
+  // face); only the near lists are clipped through them.
+  Node ta_tree, tb_tree;
+  {
+    std::vector<Polygon> ca = pa_near;
+    append(ca, std::vector<Polygon>(pa_far));
+    ta_tree.build(std::move(ca));
+    std::vector<Polygon> cb = pb_near;
+    append(cb, std::vector<Polygon>(pb_far));
+    tb_tree.build(std::move(cb));
   }
 
-  std::vector<Polygon> all;
-  a.all_polygons(all);
+  std::vector<Polygon> out;
+  if (op == 0) {
+    // union: A outside B + B outside A (clip flipped-B once more through
+    // A to drop opposite-coplanar duplicates, as csg.js does)
+    append(out, tb_tree.clip_polygons(std::move(pa_near)));
+    append(out, std::move(pa_far));
+    auto b1 = ta_tree.clip_polygons(std::move(pb_near));
+    flip_all(b1);
+    b1 = ta_tree.clip_polygons(std::move(b1));
+    flip_all(b1);
+    append(out, std::move(b1));
+    append(out, std::move(pb_far));
+  } else if (op == 1) {
+    // subtract: flip(clip_B(flip(A_near))) + A_far
+    //         + clip_Ainv(flip(clip_Ainv(B_near)))   (cavity walls,
+    //           already inward-facing after the inner flip)
+    ta_tree.invert();
+    flip_all(pa_near);
+    auto a1 = tb_tree.clip_polygons(std::move(pa_near));
+    flip_all(a1);
+    auto b1 = ta_tree.clip_polygons(std::move(pb_near));
+    flip_all(b1);
+    auto b2 = ta_tree.clip_polygons(std::move(b1));
+    append(out, std::move(a1));
+    append(out, std::move(b2));
+    append(out, std::move(pa_far));
+    // pb_far is outside A: dropped for subtract
+  } else {
+    // intersect: flip(clip_Binv(flip(A_near)) + clip_Ainv(B_near) twice)
+    ta_tree.invert();
+    tb_tree.invert();
+    auto b1 = ta_tree.clip_polygons(std::move(pb_near));
+    flip_all(b1);
+    flip_all(pa_near);
+    auto a1 = tb_tree.clip_polygons(std::move(pa_near));
+    auto b2 = ta_tree.clip_polygons(std::move(b1));
+    append(a1, std::move(b2));
+    flip_all(a1);
+    append(out, std::move(a1));
+    // far polys of both operands are outside the intersection: dropped
+  }
+
   Result r;
-  polys_to_mesh(all, r);
+  polys_to_mesh(out, r);
 
   *out_nv = (int64_t)(r.verts.size() / 3);
-  *out_verts = (double*)std::malloc(r.verts.size() * sizeof(double));
+  *out_verts = (double*)std::malloc(
+      std::max<size_t>(r.verts.size(), 1) * sizeof(double));
   std::memcpy(*out_verts, r.verts.data(), r.verts.size() * sizeof(double));
   int64_t n_tris = (int64_t)(r.tris.size() / 3);
-  *out_tris = (int32_t*)std::malloc(r.tris.size() * sizeof(int32_t));
+  *out_tris = (int32_t*)std::malloc(
+      std::max<size_t>(r.tris.size(), 1) * sizeof(int32_t));
   std::memcpy(*out_tris, r.tris.data(), r.tris.size() * sizeof(int32_t));
-  *out_face = (int32_t*)std::malloc(r.face_id.size() * sizeof(int32_t));
+  *out_face = (int32_t*)std::malloc(
+      std::max<size_t>(r.face_id.size(), 1) * sizeof(int32_t));
   std::memcpy(*out_face, r.face_id.data(),
               r.face_id.size() * sizeof(int32_t));
-  *out_owner = (int32_t*)std::malloc(r.owner.size() * sizeof(int32_t));
+  *out_owner = (int32_t*)std::malloc(
+      std::max<size_t>(r.owner.size(), 1) * sizeof(int32_t));
   std::memcpy(*out_owner, r.owner.data(), r.owner.size() * sizeof(int32_t));
   return n_tris;
 }
 
 void crt_csg_free(void* p) { std::free(p); }
+
+// Ear-clip triangulation of a (weakly) simple CCW polygon — the exact
+// algorithm and tolerances of modeling/triangulate.py's python loop,
+// ported because the interpreter version measured 33 s on Shape.tcl's
+// 1,074 contour faces. verts: (n, 2) float64; out: (n-2, 3) int32
+// preallocated by the caller. Returns #tris (or -1 on bad input).
+int64_t crt_ear_clip(const double* verts, int64_t n, int32_t* out) {
+  if (n < 3) return 0;
+  std::vector<int32_t> idx(n);
+  for (int64_t i = 0; i < n; ++i) idx[i] = (int32_t)i;
+  auto X = [&](int32_t i) { return verts[2 * i]; };
+  auto Y = [&](int32_t i) { return verts[2 * i + 1]; };
+  auto point_in_tri = [&](int32_t p, int32_t a, int32_t b, int32_t c) {
+    // _point_in_triangle(..., eps=-1e-12): strict interior only
+    const double E = 1e-12;
+    double d1 = (X(b) - X(a)) * (Y(p) - Y(a)) - (Y(b) - Y(a)) * (X(p) - X(a));
+    double d2 = (X(c) - X(b)) * (Y(p) - Y(b)) - (Y(c) - Y(b)) * (X(p) - X(b));
+    double d3 = (X(a) - X(c)) * (Y(p) - Y(c)) - (Y(a) - Y(c)) * (X(p) - X(c));
+    bool has_neg = (d1 < E) || (d2 < E) || (d3 < E);
+    bool has_pos = (d1 > -E) || (d2 > -E) || (d3 > -E);
+    return !(has_neg && has_pos);
+  };
+  int64_t nt = 0;
+  int64_t guard = 0, guard_max = 4 * n * n;
+  while ((int64_t)idx.size() > 3 && guard < guard_max) {
+    ++guard;
+    bool found = false;
+    int64_t m = (int64_t)idx.size();
+    for (int64_t k = 0; k < m; ++k) {
+      int32_t i0 = idx[(k - 1 + m) % m], i1 = idx[k], i2 = idx[(k + 1) % m];
+      double cross = (X(i1) - X(i0)) * (Y(i2) - Y(i0))
+                   - (Y(i1) - Y(i0)) * (X(i2) - X(i0));
+      if (cross <= 1e-14) continue;
+      bool ear = true;
+      for (int32_t j : idx) {
+        if (j == i0 || j == i1 || j == i2) continue;
+        if (point_in_tri(j, i0, i1, i2)) { ear = false; break; }
+      }
+      if (ear) {
+        out[3 * nt] = i0; out[3 * nt + 1] = i1; out[3 * nt + 2] = i2; ++nt;
+        idx.erase(idx.begin() + k);
+        found = true;
+        break;
+      }
+    }
+    if (!found) {
+      // numeric degeneracy: clip the least-reflex corner and go on
+      int64_t best_k = 0;
+      double best_cross = -1e300;
+      m = (int64_t)idx.size();
+      for (int64_t k = 0; k < m; ++k) {
+        int32_t i0 = idx[(k - 1 + m) % m], i1 = idx[k], i2 = idx[(k + 1) % m];
+        double cross = (X(i1) - X(i0)) * (Y(i2) - Y(i0))
+                     - (Y(i1) - Y(i0)) * (X(i2) - X(i0));
+        if (cross > best_cross) { best_cross = cross; best_k = k; }
+      }
+      int64_t k = best_k;
+      m = (int64_t)idx.size();
+      out[3 * nt] = idx[(k - 1 + m) % m];
+      out[3 * nt + 1] = idx[k];
+      out[3 * nt + 2] = idx[(k + 1) % m];
+      ++nt;
+      idx.erase(idx.begin() + k);
+    }
+  }
+  if (idx.size() == 3) {
+    out[3 * nt] = idx[0]; out[3 * nt + 1] = idx[1]; out[3 * nt + 2] = idx[2];
+    ++nt;
+  }
+  return nt;
+}
 
 }  // extern "C"
