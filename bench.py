@@ -112,6 +112,23 @@ def main() -> None:
     rays = total * queries_per_sample
     rays_per_s = rays / max(per_sample, 1e-9)
 
+    # Honest accounting (round-2 review): `rays` counts ISSUED queries —
+    # depth x (1 closest + 1 NEE shadow) per pixel-sample, including
+    # masked lanes after termination (the wavefront is statically
+    # shaped). Also report the ACTIVE-query rate from the measured
+    # per-bounce live-lane counts: bounce b issues alive_b closest +
+    # alive_b shadow queries on this scene (one positional light).
+    @jax.jit
+    def count_alive():
+        _, n_alive = render_sample(data, cam, params, W, H, jnp.uint32(1),
+                                   pixel_ids=pixel_sets[0],
+                                   return_stats=True)
+        return n_alive
+
+    alive = np.asarray(count_alive())
+    active_q = float(total * 2 * np.sum(alive) / len(pixel_sets[0]))
+    active_per_s = active_q / max(per_sample, 1e-9)
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
     vs = 1.0
@@ -129,6 +146,8 @@ def main() -> None:
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs, 4),
+        "active_rays_per_s": round(active_per_s, 1),
+        "active_fraction": round(active_q / rays, 4),
     }))
 
 

@@ -122,8 +122,9 @@ def main():
             run_case("bin2048", trace_pallas)
             continue
         import re
-        m = re.match(r"w(\d+)L(\d+)B(\d+)P(\d+)", case)
-        width, leaf, block, pops = map(int, m.groups())
+        m = re.match(r"w(\d+)L(\d+)B(\d+)P(\d+)(O\d)?", case)
+        width, leaf, block, pops = map(int, m.groups()[:4])
+        ordered = m.group(5) != "O0"
         if (width, leaf) not in wide_cache:
             wide = build_wide_bvh(bvh_min, bvh_max, skipv, firstv, countv,
                                   width=width, wide_leaf=leaf)
@@ -131,10 +132,13 @@ def main():
             wide_cache[(width, leaf)] = geom.replace(
                 wboxes=jnp.asarray(wide.wboxes),
                 wmeta=jnp.asarray(wide.wmeta),
-                winst=jnp.asarray(wide.winst), wide_leaf=wide.max_leaf,
+                winst=jnp.asarray(wide.winst),
+                worder=jnp.asarray(wide.worder),
+                wide_leaf=wide.max_leaf,
                 wide_depth=wide.max_depth)
         geom_cur = wide_cache[(width, leaf)]
-        run_case(case, pallas_wide.trace_wide, pops=pops, block=block)
+        run_case(case, pallas_wide.trace_wide, pops=pops, block=block,
+                 ordered=ordered)
 
     print(json.dumps(results))
 

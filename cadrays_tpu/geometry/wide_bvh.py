@@ -51,12 +51,44 @@ class WideBVH:
     wboxes: np.ndarray  # (Nw, WIDTH*6) f32
     wmeta: np.ndarray  # (Nw, WIDTH) i32
     winst: np.ndarray  # (Nw, WIDTH) i32
+    worder: np.ndarray  # (Nw, 8) i32 — per direction-octant child push
+    # order, 4-bit slot ids packed far-to-near (LIFO stack pops nearest
+    # first, tightening t for the rest of the walk)
     max_depth: int  # wide-tree depth (stack sizing)
     max_leaf: int
 
     @property
     def num_nodes(self) -> int:
         return self.wmeta.shape[0]
+
+
+def _pack_orders(wboxes: np.ndarray, width: int) -> np.ndarray:
+    """Per-octant far-to-near child RANKS, 4 bits per child slot.
+
+    Nibble k of worder[n, oct] = position of child k in the far-to-near
+    ordering along the octant direction (0 = farthest = pushed deepest,
+    so the LIFO stack pops nearest first). Ranks (not slot orders) so the
+    kernel's push loop stays STATIC over k — Mosaic forbids dynamic lane
+    indices, each child computes its own stack position from the ranks.
+    """
+    n = wboxes.shape[0]
+    boxes = wboxes.reshape(n, width, 6)
+    centers = (boxes[:, :, 0:3] + boxes[:, :, 3:6]) * 0.5  # (N, W, 3)
+    out = np.zeros((n, 8), np.int32)
+    rows = np.arange(n)[:, None]
+    for oct_ in range(8):
+        sign = np.array([1.0 if oct_ & 1 else -1.0,
+                         1.0 if oct_ & 2 else -1.0,
+                         1.0 if oct_ & 4 else -1.0])
+        key = centers @ sign  # (N, W): distance along the ray direction
+        order = np.argsort(-key, axis=1, kind="stable")  # far first
+        rank = np.empty((n, width), np.int64)
+        rank[rows, order] = np.arange(width)[None, :]
+        packed = np.zeros(n, np.int64)
+        for k in range(width):
+            packed |= rank[:, k] << (4 * k)
+        out[:, oct_] = packed.astype(np.int32) if width <= 8 else 0
+    return out
 
 
 def build_wide_bvh(node_min: np.ndarray, node_max: np.ndarray,
@@ -199,6 +231,7 @@ def build_wide_bvh(node_min: np.ndarray, node_max: np.ndarray,
     wb = np.stack(wboxes)
     wm = np.stack(wmeta)
     wi = np.stack(winst)
+    wo = _pack_orders(wb, width)
 
     # wide-tree depth for kernel stack sizing (children-per-push bound)
     depth = np.zeros(len(wm), np.int32)
@@ -208,7 +241,7 @@ def build_wide_bvh(node_min: np.ndarray, node_max: np.ndarray,
             if m < -1:
                 dmax = max(dmax, int(depth[-m - 2]))
         depth[i] = dmax + 1
-    return WideBVH(wboxes=wb, wmeta=wm, winst=wi,
+    return WideBVH(wboxes=wb, wmeta=wm, winst=wi, worder=wo,
                    max_depth=int(depth[0]), max_leaf=wide_leaf)
 
 

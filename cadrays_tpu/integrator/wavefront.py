@@ -23,6 +23,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from cadrays_tpu.core import rng as crng
 from cadrays_tpu.core import sampling as smp
 from cadrays_tpu.core import vecmath as vm
@@ -51,11 +53,14 @@ def _rng_dim(bounce, slot):
 
 
 def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
-                  width: int, height: int, sample_id, pixel_ids=None):
+                  width: int, height: int, sample_id, pixel_ids=None,
+                  return_stats: bool = False):
     """Trace one sample per pixel; returns (R, 3) linear radiance.
 
     pixel_ids: optional (R,) int32 subset/permutation of pixels (adaptive
     tiles / sharding); defaults to all H*W pixels in scanline order.
+    return_stats: also return the per-bounce live-lane counts (depth,)
+    — the honest ray-accounting input for bench.py.
     """
     if pixel_ids is None:
         pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
@@ -111,6 +116,10 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
         # after one root visit — free compaction under static shapes.
         res = trace(scene.geometry, o, d,
                     jnp.where(state["alive"], INF, 0.0))
+        # Rematerialization contract (see the jax.checkpoint wrap at the
+        # scan): traversal results are SAVED residuals — the backward pass
+        # recomputes the cheap shading math but never re-walks the BVH.
+        res = {k: checkpoint_name(v, "trace") for k, v in res.items()}
         h, mat = hit_attributes_packed(scene.geometry, shade_tab, o, d,
                                        res["tri"])
         hit = h["hit"] & state["alive"]
@@ -255,13 +264,13 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
                 jnp.where(vis_need, INF, 0.0)))
 
         if nee_contribs:
-            occ_all = trace(
+            occ_all = checkpoint_name(trace(
                 scene.geometry,
                 jnp.concatenate([c[2] for c in nee_contribs], axis=0),
                 jnp.concatenate([c[3] for c in nee_contribs], axis=0),
                 jnp.concatenate([c[4] for c in nee_contribs], axis=0),
                 any_hit=True,
-            )["tri"] >= 0
+            )["tri"] >= 0, "trace")
             nee = jnp.zeros((R, 3), jnp.float32)
             for k, (vis_need, contrib, _, _, _) in enumerate(nee_contribs):
                 occ = occ_all[k * R:(k + 1) * R]
@@ -323,12 +332,20 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
             # measured 9x slower on TPU).
             key = _coherence_key(scene.geometry, new_origin, new_dir)
             key = jnp.where(alive, key, jnp.int32(1 << 30))
-            perm = jnp.argsort(key)
+            perm = checkpoint_name(jnp.argsort(key), "trace")
             new_state = _unpack_state(_pack_state(new_state)[perm])
-        return new_state, None
+        return new_state, jnp.sum(state["alive"].astype(jnp.int32))
 
-    state, _ = jax.lax.scan(
-        bounce_step, state, jnp.arange(params.ray_depth), length=params.ray_depth
+    # One remat boundary per bounce: residual traffic through the scan is
+    # the dominant backward cost (251 ms fwd+bwd vs 114 fwd measured
+    # before); saving only the named traversal/permutation results keeps
+    # the backward from re-walking the BVH while the elementwise shading
+    # chain is recomputed on the fly.
+    bounce_fn = jax.checkpoint(
+        bounce_step,
+        policy=jax.checkpoint_policies.save_only_these_names("trace"))
+    state, n_alive = jax.lax.scan(
+        bounce_fn, state, jnp.arange(params.ray_depth), length=params.ray_depth
     )
 
     # Tail: rays still alive after the last bounce pick up the environment
@@ -346,7 +363,10 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
     scale = jnp.where(peak > clamp, clamp / jnp.maximum(peak, 1e-12), 1.0)
     radiance = radiance * scale
 
-    return jnp.nan_to_num(radiance, nan=0.0, posinf=0.0, neginf=0.0)
+    radiance = jnp.nan_to_num(radiance, nan=0.0, posinf=0.0, neginf=0.0)
+    if return_stats:
+        return radiance, n_alive
+    return radiance
 
 
 def _pack_state(s):

@@ -78,18 +78,19 @@ _ABLATE = os.environ.get("CADRAYS_WIDE_ABLATE", "")
 
 
 def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
-                 instanced: bool, pops: int):
+                 instanced: bool, pops: int, ordered: bool):
     """Build the kernel body. Refs (in order):
-    wboxes, wmeta, [winst, instinv], tris, rays, tm -> out,
-    scratch: stack (SMEM), [inst stack (SMEM)].
+    wboxes, wmeta, worder, [winst, instinv], tris, rays, tm -> out,
+    scratch: stack (SMEM), sp (SMEM), [inst stack (SMEM)].
     """
 
     def kernel(*refs):
         if instanced:
-            (wboxes_ref, wmeta_ref, winst_ref, instinv_ref, tris_ref,
-             rays_ref, tm_ref, out_ref, stack_ref, sp_ref, istk_ref) = refs
+            (wboxes_ref, wmeta_ref, worder_ref, winst_ref, instinv_ref,
+             tris_ref, rays_ref, tm_ref, out_ref, stack_ref, sp_ref,
+             istk_ref) = refs
         else:
-            (wboxes_ref, wmeta_ref, tris_ref, rays_ref, tm_ref,
+            (wboxes_ref, wmeta_ref, worder_ref, tris_ref, rays_ref, tm_ref,
              out_ref, stack_ref, sp_ref) = refs
             winst_ref = instinv_ref = istk_ref = None
 
@@ -119,6 +120,18 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
         sp_ref[0] = jnp.int32(1)
         if instanced:
             istk_ref[0] = jnp.int32(-1)
+
+        if ordered:
+            # block direction octant (world space): picks the per-node
+            # far-to-near child push order so the LIFO stack pops nearest
+            # children first, tightening t for the rest of the walk.
+            # Mosaic only allows static lane indices, so the octant column
+            # is selected per pop by an arithmetic mask over 8 static
+            # extracts (oct_mask computed once per program).
+            oct_ = ((jnp.sum(dx) >= 0.0).astype(jnp.int32)
+                    + 2 * (jnp.sum(dy) >= 0.0).astype(jnp.int32)
+                    + 4 * (jnp.sum(dz) >= 0.0).astype(jnp.int32))
+            oct_mask = [(oct_ == o).astype(jnp.int32) for o in range(8)]
 
         def ray_in_space(inst):
             """Block rays in the entry's coordinate space."""
@@ -224,6 +237,46 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
             else:
                 t_cap = jnp.where(lane_live, t_cur, -1.0)
 
+            if ordered:
+                # far-to-near pushes: every child k is STATIC (Mosaic
+                # forbids dynamic lane indices); its stack position is
+                # sp + #(pushed children ranked farther), from the
+                # precomputed per-octant rank nibbles.
+                pushes = []
+                metas = []
+                for k in range(width):
+                    hit_k = _slab8(brow, lox, loy, loz, lix, liy, liz,
+                                   t_cap, k)
+                    m_k = wmeta_ref[widx, k]
+                    pushes.append((jnp.any(hit_k)
+                                   & (m_k != jnp.int32(0x7FFFFFFF)))
+                                  .astype(jnp.int32))
+                    metas.append(m_k)
+                rword = oct_mask[0] * worder_ref[widx, 0]
+                for o in range(1, 8):
+                    rword = rword + oct_mask[o] * worder_ref[widx, o]
+                ranks = [(rword >> (4 * k)) & 0xF for k in range(width)]
+                npush = pushes[0]
+                for k in range(1, width):
+                    npush = npush + pushes[k]
+                for k in range(width):
+                    pos = sp
+                    for k2 in range(width):
+                        if k2 == k:
+                            continue
+                        pos = pos + pushes[k2] * (
+                            ranks[k2] < ranks[k]).astype(jnp.int32)
+
+                    @pl.when(pushes[k] == 1)
+                    def _(pos=pos, k=k):
+                        stack_ref[pos] = metas[k]
+                        if instanced:
+                            i_k = winst_ref[widx, k]
+                            istk_ref[pos] = jnp.where(i_k >= 0, i_k, inst)
+
+                sp_ref[0] = sp + npush
+                return
+
             off = sp
             for k in range(width):
                 hit_k = _slab8(brow, lox, loy, loz, lix, liy, liz, t_cap, k)
@@ -277,10 +330,12 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("any_hit", "interpret", "pops", "block"))
+                   static_argnames=("any_hit", "interpret", "pops", "block",
+                                    "ordered"))
 def trace_wide(geom: GeometryData, origin, direction, t_max,
                any_hit: bool = False, interpret: bool = False,
-               pops: int = 1, block: int | None = None):
+               pops: int = 1, block: int | None = None,
+               ordered: bool = True):
     """Wide-BVH traversal; contract of ops.traverse.trace."""
     R = origin.shape[0]
     B = block if block is not None else BLOCK
@@ -294,14 +349,17 @@ def trace_wide(geom: GeometryData, origin, direction, t_max,
     width = geom.wmeta.shape[1]
     max_leaf = int(geom.wide_leaf)
     instanced = geom.instanced
+    ordered = ordered and width <= 8 and geom.worder.shape[0] == geom.wmeta.shape[0]
 
     in_specs = [
         pl.BlockSpec(geom.wboxes.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(geom.wmeta.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec(geom.worder.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    args = [geom.wboxes, geom.wmeta]
+    args = [geom.wboxes, geom.wmeta, geom.worder]
     if instanced:
         n_inst = geom.inst_inv.shape[0]
         instinv = jnp.concatenate([
@@ -331,7 +389,7 @@ def trace_wide(geom: GeometryData, origin, direction, t_max,
 
     out = pl.pallas_call(
         _make_kernel(any_hit=any_hit, max_leaf=max_leaf, width=width,
-                     instanced=instanced, pops=pops),
+                     instanced=instanced, pops=pops, ordered=ordered),
         grid=(nb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((4, B), lambda i: (0, i),

@@ -81,6 +81,8 @@ class GeometryData:
         default_factory=lambda: jnp.full((1, 1), 0x7FFFFFFF, jnp.int32))
     winst: jnp.ndarray = flax.struct.field(
         default_factory=lambda: jnp.full((1, 1), -1, jnp.int32))
+    worder: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((1, 8), jnp.int32))
     wide_leaf: int = flax.struct.field(pytree_node=False, default=16)
     wide_depth: int = flax.struct.field(pytree_node=False, default=0)
 
@@ -327,6 +329,7 @@ def flatten_parts(
         wboxes=jnp.asarray(wide.wboxes),
         wmeta=jnp.asarray(wide.wmeta),
         winst=jnp.asarray(wide.winst),
+        worder=jnp.asarray(wide.worder),
         wide_leaf=wide.max_leaf,
         wide_depth=wide.max_depth,
     )

@@ -235,6 +235,7 @@ def build_instanced(
         wboxes=jnp.asarray(wide.wboxes),
         wmeta=jnp.asarray(wide.wmeta),
         winst=jnp.asarray(wide.winst),
+        worder=jnp.asarray(wide.worder),
         wide_leaf=wide.max_leaf,
         wide_depth=wide.max_depth,
     )

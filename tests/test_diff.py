@@ -152,7 +152,10 @@ class TestGradients:
         loss_from = _loss_builder(data, cam, self.params)
 
         def setter(t):
-            return data, cam.replace(eye=cam.eye.at[2].set(t))
+            # camera leaves are host numpy (core/camera.py); promote to a
+            # jax array so the scalar can be traced through .at[].set
+            return data, cam.replace(
+                eye=jnp.asarray(cam.eye).at[2].set(t))
 
         f = loss_from(setter)
         g_ad, _ = _check_grad(f, 2.5, 2e-3, rtol=0.1)
