@@ -142,10 +142,40 @@ class Console(ModelingMixin):
         self._handlers = h
 
     # -- driver ------------------------------------------------------------
+    @staticmethod
+    def _split_commands(line: str) -> List[str]:
+        """Split on `;` OUTSIDE quotes/escapes (a naive split broke
+        quoted arguments containing semicolons — round-2 review)."""
+        pieces = []
+        cur = []
+        quote = None
+        esc = False
+        for ch in line:
+            if esc:
+                cur.append(ch)
+                esc = False
+            elif ch == "\\":
+                cur.append(ch)
+                esc = True
+            elif quote:
+                cur.append(ch)
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                cur.append(ch)
+                quote = ch
+            elif ch == ";":
+                pieces.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        pieces.append("".join(cur))
+        return pieces
+
     def exec(self, line: str) -> str:
         """Execute one line (possibly `;`-separated commands)."""
         out = []
-        for piece in line.split(";"):
+        for piece in self._split_commands(line):
             piece = piece.strip()
             if not piece or piece.startswith("#"):
                 continue
@@ -187,14 +217,24 @@ class Console(ModelingMixin):
     # modeling commands (DRAW kernel analogues)
     # =======================================================================
     def cmd_psphere(self, args):
+        """psphere name r — a modeling SOLID with one spherical face
+        (OCCT parity: typed `explode s f` yields one part; previously a
+        raw TriangleMesh whose explode fell back to components)."""
+        from cadrays_tpu.modeling.topo import SolidShape
+
         name, r = args[0], float(args[1])
-        self.session.staging[name] = (primitives.sphere(r, 64, 32),
+        m = primitives.sphere(r, 64, 32)
+        self.session.staging[name] = (SolidShape(m.vertices, m.indices),
                                       NodeType.CAD_SHAPE)
         return ""
 
     def cmd_ptorus(self, args):
+        """ptorus name r1 r2 — modeling solid with one toroidal face."""
+        from cadrays_tpu.modeling.topo import SolidShape
+
         name, r1, r2 = args[0], float(args[1]), float(args[2])
-        self.session.staging[name] = (primitives.torus(r1, r2),
+        m = primitives.torus(r1, r2)
+        self.session.staging[name] = (SolidShape(m.vertices, m.indices),
                                       NodeType.CAD_SHAPE)
         return ""
 
@@ -971,6 +1011,8 @@ class Console(ModelingMixin):
         gname = "Group"
         if "-name" in args:
             i = args.index("-name")
+            if i + 1 >= len(args):
+                raise CommandError("rtgroup: -name requires a value")
             gname = args[i + 1]
             del args[i:i + 2]
         grp = self.session.scene.model.group(args, group_name=gname)
@@ -980,20 +1022,23 @@ class Console(ModelingMixin):
         return grp.name
 
     def cmd_rttexture(self, args):
-        """rttexture name file [-scale s] | name off
-        (ImportExportPlugin.cxx:608-752)."""
+        """rttexture name file [-scale s] [-ks] | name off [-ks]
+        (ImportExportPlugin.cxx:608-752). -ks targets the glossy-lobe
+        map slot so Ks textures survive export round-trips."""
         name = args[0]
+        slot = "ks" if "-ks" in args else "kd"
+        field = "ks_tex_id" if slot == "ks" else "tex_id"
         if len(args) > 1 and args[1].lower() == "off":
             node = self._node(name)
             for n in node.traverse():
-                n.material = n.material.replace(tex_id=np.int32([-1]))
+                n.material = n.material.replace(**{field: np.int32([-1])})
             self.session.scene.touch()
             return ""
         path = self.session.resolve(args[1])
         scale = 1.0
         if "-scale" in args:
             scale = float(args[args.index("-scale") + 1])
-        _attach_texture(self.session, name, path, scale)
+        _attach_texture(self.session, name, path, scale, slot=slot)
         return ""
 
     def cmd_rtrotate(self, args):

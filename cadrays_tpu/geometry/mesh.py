@@ -24,6 +24,11 @@ class TriangleMesh:
     # set by `compound`, consumed by un-typed `explode` (DRAW splits a
     # compound into its sub-shapes, Materials.tcl:22-23).
     part_ranges: Optional[np.ndarray] = None
+    # True when `uvs` holds RAW CAD surface parameters (STEP/IGES/BREP
+    # tessellation) that need per-part [0,1] normalization at texture
+    # attach; imported artist UVs (possibly intentionally tiled outside
+    # [0,1]) keep this False and are never rewritten.
+    raw_uvs: bool = False
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, np.float32)

@@ -115,15 +115,17 @@ def generate_uvs_box(mesh: TriangleMesh) -> TriangleMesh:
 def parameterize_mesh(mesh: TriangleMesh) -> TriangleMesh:
     """Give the mesh usable texture coordinates (Parameterize analogue).
 
-    CAD meshes with raw surface parameters are normalized per part;
-    meshes without UVs get the box projection. Meshes that already carry
-    a valid, normalized-looking UV set are returned unchanged.
+    CAD tessellator meshes (raw_uvs=True: UVs are raw surface
+    parameters) are normalized per part; meshes without usable UVs get
+    the box projection. Imported meshes that carry a valid UV set keep
+    it verbatim — including UVs outside [0,1], which express intentional
+    tiling (the reference only generates UVs when a shape has none and
+    tiles via uv_scale; round-2 advisor finding).
     """
-    if mesh.uvs is None:
+    if mesh.uvs is None or not has_valid_uvs(mesh):
         return generate_uvs_box(mesh)
-    if not has_valid_uvs(mesh):
-        return generate_uvs_box(mesh)
-    spread = mesh.uvs.max(axis=0) - mesh.uvs.min(axis=0)
-    if (spread > 1.0 + 1e-4).any() or (mesh.uvs.min(axis=0) < -1e-4).any():
-        return normalize_part_uvs(mesh)
+    if getattr(mesh, "raw_uvs", False):
+        out = normalize_part_uvs(mesh)
+        out.raw_uvs = False
+        return out
     return mesh

@@ -519,6 +519,7 @@ def _merge_parts(parts) -> Optional[TriangleMesh]:
     mesh = TriangleMesh(np.vstack(V), np.vstack(T),
                         normals=np.vstack(N), uvs=uv.astype(np.float32))
     mesh.part_ranges = np.asarray(ranges, np.int32)
+    mesh.raw_uvs = True  # raw surface parameters, see parameterize_mesh
     return mesh
 
 

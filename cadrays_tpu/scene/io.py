@@ -130,6 +130,28 @@ def export_scene(session, directory: str,
 
     # nodes: leaves as PLY + vdisplay + vbsdf + transform; groups by rtgroup
     group_cmds: List[str] = []
+    exported_tex: dict = {}  # tid -> exported relative name
+
+    def export_texture(tid: int) -> str:
+        """Copy/encode texture `tid` into textures/, once, collision-safe
+        (two sources sharing a basename must not overwrite each other —
+        TextureManager unique-name registry, TextureManager.cxx:63-152)."""
+        if tid in exported_tex:
+            return exported_tex[tid]
+        tex_dir = os.path.join(directory, "textures")
+        os.makedirs(tex_dir, exist_ok=True)
+        key = next((k for k, t in sc._texture_ids.items() if t == tid), None)
+        if key is not None and os.path.isfile(key):
+            base = os.path.basename(key)
+            tname = "textures/" + base
+            if tname in exported_tex.values():
+                tname = f"textures/tex_{tid}_{base}"
+            shutil.copyfile(key, os.path.join(directory, tname))
+        else:
+            tname = f"textures/tex_{tid}.hdr"
+            write_hdr(os.path.join(directory, tname), sc._textures[tid])
+        exported_tex[tid] = tname
+        return tname
 
     def walk(node: DataNode):
         child_names = []
@@ -142,28 +164,18 @@ def export_scene(session, directory: str,
             if not node.visible:
                 lines.append(f"rterase {node.name}")
             lines.extend(bsdf_commands(node.name, node.material))
+            scale = float(np.asarray(node.material.uv_scale)[0])
             tid = int(np.asarray(node.material.tex_id)[0])
             if tid >= 0:
-                for key, t in sc._texture_ids.items():
-                    if t == tid:
-                        tex_dir = os.path.join(directory, "textures")
-                        os.makedirs(tex_dir, exist_ok=True)
-                        # copy the original texture file when the registry
-                        # key is a readable path (TextureManager::CopyTo,
-                        # ImportExport.cxx:513-528); re-encode as .hdr only
-                        # for synthesized/in-memory textures
-                        if os.path.isfile(key):
-                            tname = "textures/" + os.path.basename(key)
-                            shutil.copyfile(key,
-                                            os.path.join(directory, tname))
-                        else:
-                            tname = f"textures/tex_{tid}.hdr"
-                            write_hdr(os.path.join(directory, tname),
-                                      sc._textures[tid])
-                        scale = float(np.asarray(node.material.uv_scale)[0])
-                        lines.append(f"rttexture {node.name} {tname} "
-                                     f"-scale {_fmt(scale)}")
-                        break
+                lines.append(f"rttexture {node.name} {export_texture(tid)} "
+                             f"-scale {_fmt(scale)}")
+            ks_tid = int(np.asarray(node.material.ks_tex_id)[0])
+            if ks_tid >= 0:
+                # glossy-lobe map: separate slot flag so the Ks texture
+                # survives the round-trip (round-2 advisor finding)
+                lines.append(
+                    f"rttexture {node.name} {export_texture(ks_tid)} "
+                    f"-scale {_fmt(scale)} -ks")
             lines.extend(_transform_commands(node.name, node))
             return [node.name]
         if child_names and node.parent is not None:
@@ -173,7 +185,10 @@ def export_scene(session, directory: str,
             # (ImportExport.cxx:276-305 applies to every node)
             if not np.allclose(node.transform, np.eye(4), atol=1e-12):
                 group_cmds.extend(_transform_commands(node.name, node))
-            return []  # grouped
+            # inner groups are children of their parent group: return the
+            # group NAME so nesting and cumulative transforms round-trip
+            # (inner rtgroup lines are emitted first — depth-first walk)
+            return [node.name]
         return child_names
 
     for root in (sc.model.shapes_root, sc.model.meshes_root):

@@ -258,6 +258,72 @@ class TestSceneIO:
                                    atol=1e-4)
         assert s2.params.ray_depth == console.session.params.ray_depth
 
+    def test_export_roundtrip_ks_map_and_nested_groups(self, tmp_path,
+                                                       console):
+        """Round-2 advisor findings: Ks maps and nested groups must
+        survive export -> import; same-basename textures must not
+        collide; tiled imported UVs must not be rewritten on attach."""
+        import numpy as np
+
+        from cadrays_tpu.scene.io import export_scene, import_scene
+
+        c = console
+        c.exec("box a 1 1 1; vdisplay a; box b 1 1 1; vdisplay b")
+        # two texture files sharing a basename in different dirs
+        from cadrays_tpu.utils.image import write_png
+
+        d1 = tmp_path / "t1"
+        d2 = tmp_path / "t2"
+        d1.mkdir()
+        d2.mkdir()
+        write_png(str(d1 / "wood.png"),
+                  np.full((4, 4, 3), 0.25, np.float32))
+        write_png(str(d2 / "wood.png"),
+                  np.full((4, 4, 3), 0.75, np.float32))
+        c.exec(f"rttexture a {d1 / 'wood.png'}")
+        c.exec(f"rttexture a {d2 / 'wood.png'} -ks")
+        c.exec("rtgroup a b -name inner")
+        c.exec("box cc 1 1 1; vdisplay cc")
+        c.exec("rtgroup inner cc -name outer")
+        c.exec("vlocation outer -setLocation 1 2 3")
+
+        script = export_scene(c.session, str(tmp_path / "exp"))
+        s2 = Session()
+        import_scene(s2, script)
+        na = s2.scene.model.get("a")
+        assert na is not None
+        assert int(np.asarray(na.material.tex_id)[0]) >= 0
+        assert int(np.asarray(na.material.ks_tex_id)[0]) >= 0
+        # kd and ks maps are DIFFERENT textures despite equal basenames
+        assert (int(np.asarray(na.material.tex_id)[0])
+                != int(np.asarray(na.material.ks_tex_id)[0]))
+        # nested group structure + cumulative transform survived
+        outer = s2.scene.model.get("outer")
+        inner = s2.scene.model.get("inner")
+        assert outer is not None and inner is not None
+        assert inner.parent is outer
+        assert na.parent is inner
+        world = na.world_transform()
+        np.testing.assert_allclose(world[:3, 3], [1, 2, 3], atol=1e-5)
+
+    def test_tiled_uvs_survive_texture_attach(self, console):
+        """Imported UVs outside [0,1] express tiling; attach must not
+        renormalize them (round-2 advisor finding)."""
+        import numpy as np
+
+        from cadrays_tpu.geometry.mesh import TriangleMesh
+        from cadrays_tpu.scene.model import NodeType
+
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        tris = np.array([[0, 1, 2]], np.int32)
+        uvs = np.array([[0, 0], [4, 0], [0, 4]], np.float32)
+        mesh = TriangleMesh(verts, tris, uvs=uvs)
+        console.session.scene.add_mesh("tiled", mesh)
+        console.session.scene.set_texture(
+            "tiled", "synth", np.ones((2, 2, 3), np.float32))
+        got = console.session.scene.model.get("tiled").mesh.uvs
+        np.testing.assert_allclose(got, uvs)
+
     def test_settings_ini(self, tmp_path):
         from cadrays_tpu.utils.settings import Settings
 
