@@ -57,7 +57,15 @@ button { background:#333; color:#eee; border:1px solid #555; padding:4px }
 #log { white-space:pre-wrap; color:#9c9 } .err { color:#c99 }
 </style></head><body>
 <h3>cadrays_tpu <span id="st"></span>
-    <button id="pause" onclick="pause()">pause</button></h3>
+    <button id="pause" onclick="pause()">pause</button>
+    <select id="mode">
+      <option value="orbit">orbit</option>
+      <option value="fly">fly (WASDQE + drag look)</option>
+      <option value="move">move object</option>
+      <option value="rotate">rotate object</option>
+      <option value="scale">scale object</option>
+    </select>
+    <span id="sel"></span></h3>
 <img id="view" src="/frame.png" draggable="false"/>
 <p><input id="cmd" placeholder="command (e.g. vbsdf s -kd 1 0 0)"
    onkeydown="if(event.key=='Enter')run()"/></p>
@@ -103,7 +111,9 @@ async function delScript(){
   refreshScripts();
 }
 const img = document.getElementById('view');
-let drag = null, moved = false;
+let drag = null, moved = false, selected = null;
+const keys = new Set();
+function mode(){ return document.getElementById('mode').value; }
 function imgXY(e){
   const r = img.getBoundingClientRect();
   return [ (e.clientX - r.left) * img.naturalWidth / r.width,
@@ -118,8 +128,17 @@ window.addEventListener('mousemove', e => {
   const dx = e.clientX - drag.x, dy = e.clientY - drag.y;
   if (Math.abs(dx) + Math.abs(dy) < 2) return;
   moved = true;
-  fetch('/orbit', {method:'POST', body: JSON.stringify(
-    {op: drag.pan ? 'pan' : 'rotate', dx: dx, dy: dy})});
+  const m = mode();
+  if (m === 'fly') {
+    fetch('/fly', {method:'POST', body: JSON.stringify({dx: dx, dy: dy})});
+  } else if (m !== 'orbit' && selected) {
+    const op = m === 'move' ? 'translate' : m;
+    fetch('/manip', {method:'POST', body: JSON.stringify(
+      {name: selected, op: op, dx: dx, dy: dy})});
+  } else {
+    fetch('/orbit', {method:'POST', body: JSON.stringify(
+      {op: drag.pan ? 'pan' : 'rotate', dx: dx, dy: dy})});
+  }
   drag.x = e.clientX; drag.y = e.clientY;
 });
 window.addEventListener('mouseup', async e => {
@@ -133,11 +152,27 @@ window.addEventListener('mouseup', async e => {
   logLine('pick ' + Math.round(x) + ' ' + Math.round(y), t);
   const m = t.match(/^hit (\\S+)/);
   if (m) {
+    selected = m[1];
+    document.getElementById('sel').textContent = '[' + selected + ']';
     const box = document.getElementById('cmd');
     box.value = 'vbsdf ' + m[1] + ' ';
     box.focus();
+  } else {
+    selected = null;
+    document.getElementById('sel').textContent = '';
   }
 });
+window.addEventListener('keydown', e => {
+  if (e.target.tagName === 'INPUT' || e.target.tagName === 'TEXTAREA')
+    return;
+  keys.add(e.key.toLowerCase());
+});
+window.addEventListener('keyup', e => keys.delete(e.key.toLowerCase()));
+setInterval(() => {
+  if (mode() !== 'fly' || keys.size === 0) return;
+  fetch('/fly', {method:'POST', body: JSON.stringify(
+    {keys: [...keys], dt: 0.1})});
+}, 100);
 img.addEventListener('wheel', e => {
   e.preventDefault();
   fetch('/orbit', {method:'POST', body: JSON.stringify(
@@ -182,9 +217,73 @@ def _make_handler(state: ViewerState, console):
     import os
     import urllib.parse
 
-    from cadrays_tpu.cli.controls import OrbitControls
+    import numpy as np
+
+    from cadrays_tpu.cli.controls import FlightControls, OrbitControls
 
     orbit = OrbitControls()
+    flight = FlightControls(move_speed=2.0)
+
+    def _manipulate(req):
+        """Drag-manipulate a picked node: screen-space translate, view-
+        axis rotate, or uniform scale about its bbox center — the
+        ImGuizmo/TransformWidget contract (ImRaytraceControls.cxx:32-91,
+        TransformWidget.cxx:112-246). Mutating the transform bumps the
+        scene version, so accumulation restarts."""
+        s = state.session
+        node = s.scene.model.get(req["name"])
+        if node is None:
+            raise ValueError(f"no node '{req['name']}'")
+        cam = s.camera
+        right, up, fwd = cam.basis_np()
+        dx = float(req.get("dx", 0.0))
+        dy = float(req.get("dy", 0.0))
+        op = req.get("op", "translate")
+        if op == "translate":
+            dist = float(np.linalg.norm(np.asarray(cam.at)
+                                        - np.asarray(cam.eye)))
+            fov = np.deg2rad(float(cam.fovy_deg))
+            wpp = 2.0 * dist * np.tan(fov / 2) / max(s.height, 1)
+            delta = (dx * right - dy * up) * wpp
+            m = np.eye(4, dtype=np.float32)
+            m[:3, 3] = delta
+            node.transform = (m @ node.transform).astype(np.float32)
+        else:
+            # rotate/scale about the subtree bbox center
+            los, his = [], []
+            for n in node.traverse():
+                if n.mesh is not None:
+                    mm = n.mesh.transformed(n.world_transform())
+                    lo, hi = mm.bounds()
+                    los.append(lo)
+                    his.append(hi)
+            c = ((np.min(los, axis=0) + np.max(his, axis=0)) / 2
+                 if los else np.zeros(3))
+            t0 = np.eye(4, dtype=np.float32)
+            t0[:3, 3] = -c
+            t1 = np.eye(4, dtype=np.float32)
+            t1[:3, 3] = c
+            if op == "rotate":
+                ang = dx * 0.01
+                ca, sa = np.cos(ang), np.sin(ang)
+                a = np.asarray(fwd, np.float64)
+                x, y, z = a
+                r = np.eye(4, dtype=np.float32)
+                r[:3, :3] = np.array([
+                    [ca + x * x * (1 - ca), x * y * (1 - ca) - z * sa,
+                     x * z * (1 - ca) + y * sa],
+                    [y * x * (1 - ca) + z * sa, ca + y * y * (1 - ca),
+                     y * z * (1 - ca) - x * sa],
+                    [z * x * (1 - ca) - y * sa, z * y * (1 - ca) + x * sa,
+                     ca + z * z * (1 - ca)]], np.float32)
+            elif op == "scale":
+                sf = float(np.exp(-dy * 0.005))
+                r = np.diag([sf, sf, sf, 1.0]).astype(np.float32)
+            else:
+                raise ValueError(f"unknown manip op {op!r}")
+            node.transform = (t1 @ r @ t0 @ node.transform).astype(
+                np.float32)
+        s.scene.touch()
 
     def script_dir():
         d = os.path.join(state.session.cwd or ".", "scripts")
@@ -267,6 +366,36 @@ def _make_handler(state: ViewerState, console):
                         elif req["op"] == "zoom":
                             cam = orbit.zoom(cam, req["dy"])
                         s.camera = cam
+                    self._send(200, "text/plain", b"ok")
+                except Exception as e:
+                    self._send(200, "text/plain", f"[error] {e}".encode())
+            elif self.path.startswith("/manip"):
+                # drag-gizmo: translate/rotate/scale the picked node
+                try:
+                    req = json.loads(self._body())
+                    with state.lock:
+                        _manipulate(req)
+                    self._send(200, "text/plain", b"ok")
+                except Exception as e:
+                    self._send(200, "text/plain", f"[error] {e}".encode())
+            elif self.path.startswith("/fly"):
+                # WASD flight + mouse look (FlightControls.cxx:223-263)
+                try:
+                    req = json.loads(self._body())
+                    with state.lock:
+                        cam = s.camera
+                        if req.get("dx") or req.get("dy"):
+                            cam = flight.look(cam, req.get("dx", 0.0),
+                                              req.get("dy", 0.0))
+                        keys = set(req.get("keys", []))
+                        dt = float(req.get("dt", 1 / 30))
+                        fwd = (("w" in keys) - ("s" in keys))
+                        strafe = (("d" in keys) - ("a" in keys))
+                        lift = (("e" in keys) - ("q" in keys))
+                        if fwd or strafe or lift:
+                            cam = flight.move(cam, fwd, strafe, lift, dt)
+                        s.camera = cam
+                        s.scene.camera = cam
                     self._send(200, "text/plain", b"ok")
                 except Exception as e:
                     self._send(200, "text/plain", f"[error] {e}".encode())

@@ -56,6 +56,18 @@ def fits_wide(geom: GeometryData) -> bool:
     return need < _VMEM_BUDGET
 
 
+def fits_wide_hbm(geom: GeometryData) -> bool:
+    """CAD scale: triangles stay in HBM (DMA'd per merged leaf), only
+    the wide-node tables + ray block must fit VMEM."""
+    if geom.wmeta.shape[0] <= 1 and geom.wmeta.shape[1] == 1:
+        return False
+    if geom.tris_hbm.shape[0] <= 1:
+        return False  # no padded HBM table built (small scene)
+    need = (geom.wboxes.size + geom.wmeta.size + geom.winst.size
+            + geom.worder.size) * 4 + BLOCK * 4 * 24
+    return need < _VMEM_BUDGET
+
+
 def _slab8(brow, ox, oy, oz, ix, iy, iz, t_cap, k):
     """Child-k slab test: scalars from the 48-wide row vs (B,) lanes."""
     b = k * 6
@@ -78,21 +90,26 @@ _ABLATE = os.environ.get("CADRAYS_WIDE_ABLATE", "")
 
 
 def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
-                 instanced: bool, pops: int, ordered: bool):
+                 instanced: bool, pops: int, ordered: bool,
+                 hbm_tris: bool = False):
     """Build the kernel body. Refs (in order):
     wboxes, wmeta, worder, [winst, instinv], tris, rays, tm -> out,
-    scratch: stack (SMEM), sp (SMEM), [inst stack (SMEM)].
+    scratch: stack (SMEM), sp (SMEM), [inst stack (SMEM)],
+    [tri buffer (VMEM) + DMA sem when hbm_tris].
     """
 
     def kernel(*refs):
+        tbuf_ref = dsem_ref = None
         if instanced:
             (wboxes_ref, wmeta_ref, worder_ref, winst_ref, instinv_ref,
              tris_ref, rays_ref, tm_ref, out_ref, stack_ref, sp_ref,
-             istk_ref) = refs
+             istk_ref, *extra) = refs
         else:
             (wboxes_ref, wmeta_ref, worder_ref, tris_ref, rays_ref, tm_ref,
-             out_ref, stack_ref, sp_ref) = refs
+             out_ref, stack_ref, sp_ref, *extra) = refs
             winst_ref = instinv_ref = istk_ref = None
+        if hbm_tris:
+            tbuf_ref, dsem_ref = extra
 
         ox = rays_ref[0, :]
         oy = rays_ref[1, :]
@@ -169,12 +186,26 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
             else:
                 open_ = lane_live
 
+            if hbm_tris:
+                # CAD scale: triangles stream from the (T, 128) HBM table
+                # as an 8-row-aligned window (Mosaic DMA tiling); the
+                # window is max_leaf+8 rows so any `first` phase fits,
+                # and the table carries 128 spare rows for the overrun
+                base = first & ~jnp.int32(7)
+                phase = first - base
+                cp = pltpu.make_async_copy(
+                    tris_ref.at[pl.ds(base, max_leaf + 8), :], tbuf_ref,
+                    dsem_ref)
+                cp.start()
+                cp.wait()
+
             n_unroll = 1 if _ABLATE == "leaf1" else max_leaf
             cands = []
             for k in range(n_unroll):
                 live_k = k < count
                 tid = jnp.where(live_k, first + k, 0)
-                trow = tris_ref[tid, :]
+                trow = tbuf_ref[phase + k, :] if hbm_tris \
+                    else tris_ref[tid, :]
                 pvx = ldy * trow[8] - ldz * trow[7]
                 pvy = ldz * trow[6] - ldx * trow[8]
                 pvz = ldx * trow[7] - ldy * trow[6]
@@ -331,11 +362,11 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "interpret", "pops", "block",
-                                    "ordered"))
+                                    "ordered", "hbm_tris"))
 def trace_wide(geom: GeometryData, origin, direction, t_max,
                any_hit: bool = False, interpret: bool = False,
                pops: int = 1, block: int | None = None,
-               ordered: bool = True):
+               ordered: bool = True, hbm_tris: bool = False):
     """Wide-BVH traversal; contract of ops.traverse.trace."""
     R = origin.shape[0]
     B = block if block is not None else BLOCK
@@ -374,22 +405,26 @@ def trace_wide(geom: GeometryData, origin, direction, t_max,
                          memory_space=pltpu.VMEM),
         ]
         args += [geom.winst, instinv]
+    tri_space = pltpu.ANY if hbm_tris else pltpu.VMEM
     in_specs += [
-        pl.BlockSpec(geom.tris_packed.shape, lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=tri_space),
         pl.BlockSpec((6, B), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
-    args += [geom.tris_packed, rays, tm]
+    args += [geom.tris_hbm if hbm_tris else geom.tris_packed, rays, tm]
 
     scratch = [pltpu.SMEM((STACK_CAP,), jnp.int32),
                pltpu.SMEM((1,), jnp.int32)]
     if instanced:
         scratch.append(pltpu.SMEM((STACK_CAP,), jnp.int32))
+    if hbm_tris:
+        scratch += [pltpu.VMEM((max_leaf + 8, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA(())]
 
     out = pl.pallas_call(
         _make_kernel(any_hit=any_hit, max_leaf=max_leaf, width=width,
-                     instanced=instanced, pops=pops, ordered=ordered),
+                     instanced=instanced, pops=pops, ordered=ordered,
+                     hbm_tris=hbm_tris),
         grid=(nb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((4, B), lambda i: (0, i),

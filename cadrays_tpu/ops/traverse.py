@@ -112,11 +112,16 @@ def trace(geom: GeometryData, origin, direction, t_max,
                                     any_hit=any_hit)
         backend = "wide"
     if backend == "wide":
-        from cadrays_tpu.ops.pallas_wide import fits_wide, trace_wide
+        from cadrays_tpu.ops.pallas_wide import (fits_wide, fits_wide_hbm,
+                                                 trace_wide)
 
         if fits_wide(geom):
             return trace_wide(geom_, origin_, direction_, t_max_,
                               any_hit=any_hit)
+        if fits_wide_hbm(geom):
+            # CAD scale: triangles streamed from HBM per merged leaf
+            return trace_wide(geom_, origin_, direction_, t_max_,
+                              any_hit=any_hit, hbm_tris=True)
         backend = "pallas"
     if backend == "pallas":
         from cadrays_tpu.ops.pallas_traverse import fits_vmem, trace_pallas

@@ -83,6 +83,12 @@ class GeometryData:
         default_factory=lambda: jnp.full((1, 1), -1, jnp.int32))
     worder: jnp.ndarray = flax.struct.field(
         default_factory=lambda: jnp.zeros((1, 8), jnp.int32))
+    # CAD scale only (T beyond the VMEM budget): one 128-float row per
+    # triangle [12 packed + pad] so leaf windows DMA as aligned tiles —
+    # Mosaic requires 128-aligned minor dims for HBM->VMEM copies.
+    # Built on-device by `build_tris_hbm`; (1, 128) placeholder otherwise.
+    tris_hbm: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((1, 128), jnp.float32))
     wide_leaf: int = flax.struct.field(pytree_node=False, default=16)
     wide_depth: int = flax.struct.field(pytree_node=False, default=0)
 
@@ -109,15 +115,17 @@ def pack_geometry(vertices: np.ndarray, tri_v: np.ndarray,
     ).astype(np.int32)
     nodes[:, 7] = leafbits.view(np.float32)
 
-    tris = np.zeros((max(T, 1), 12), np.float32)
+    # 128 spare zero rows: the HBM-streamed wide kernel DMAs fixed
+    # max_leaf-row windows from `first`, which may extend past T
+    tris = np.zeros((max(T, 1) + 128, 12), np.float32)
     if T:
         p0 = vertices[tri_v[:, 0]]
         p1 = vertices[tri_v[:, 1]]
         p2 = vertices[tri_v[:, 2]]
-        tris[:, 0:3] = p0
-        tris[:, 3:6] = p1 - p0
-        tris[:, 6:9] = p2 - p0
-        tris[:, 9] = tri_mat.astype(np.int32).view(np.float32)
+        tris[:T, 0:3] = p0
+        tris[:T, 3:6] = p1 - p0
+        tris[:T, 6:9] = p2 - p0
+        tris[:T, 9] = tri_mat.astype(np.int32).view(np.float32)
     return nodes, tris
 
 
@@ -310,9 +318,16 @@ def flatten_parts(
 
     from cadrays_tpu.geometry.wide_bvh import build_wide_bvh
 
+    # CAD scale trades leaf size down: the HBM-streamed kernel DMAs one
+    # max_leaf-row window per merged leaf, and the fully-unrolled leaf
+    # body at 64 blows past the remote-compile payload cap
+    wl = 64 if indices.shape[0] <= _HBM_TRIS_THRESHOLD else 16
     wide = build_wide_bvh(bvh.node_min, bvh.node_max, bvh.skip,
-                          bvh.first, bvh.count)
+                          bvh.first, bvh.count, wide_leaf=wl)
 
+    tris_hbm = (build_tris_hbm(tris_packed)
+                if tris_packed.shape[0] > _HBM_TRIS_THRESHOLD
+                else jnp.zeros((1, 128), jnp.float32))
     geom = GeometryData(
         vertices=jnp.asarray(vertices),
         normals=jnp.asarray(normals),
@@ -330,6 +345,7 @@ def flatten_parts(
         wmeta=jnp.asarray(wide.wmeta),
         winst=jnp.asarray(wide.winst),
         worder=jnp.asarray(wide.worder),
+        tris_hbm=tris_hbm,
         wide_leaf=wide.max_leaf,
         wide_depth=wide.max_depth,
     )
@@ -382,3 +398,14 @@ def _build_emissive(vertices: np.ndarray, tri_v: np.ndarray,
         total_power=jnp.float32(total),
         count=int(sel.size),
     )
+
+
+# triangles per VMEM budget for the wide kernel (ops/pallas_wide); above
+# this, flatten attaches the padded HBM table for the streamed variant
+_HBM_TRIS_THRESHOLD = 200_000
+
+
+def build_tris_hbm(tris_packed) -> jnp.ndarray:
+    """(T, 128) HBM triangle table (device-side pad, no host transfer)."""
+    t = jnp.asarray(tris_packed)
+    return jnp.pad(t, ((0, 0), (0, 128 - t.shape[1])))

@@ -190,7 +190,8 @@ def build_instanced(
                         -descend - 2).astype(np.int32)
     nodes_packed[:, 7] = leafbits.view(np.float32)
 
-    tris_packed = np.zeros((max(T, 1), 12), np.float32)
+    # 128 spare zero rows (HBM-streamed wide kernel window overrun pad)
+    tris_packed = np.zeros((max(T, 1) + 128, 12), np.float32)
     p0 = vertices[tri_v[:, 0]]
     p1 = vertices[tri_v[:, 1]]
     p2 = vertices[tri_v[:, 2]]
@@ -207,12 +208,14 @@ def build_instanced(
         inst_tf[i] = m[:3, :4].astype(np.float32)
 
     from cadrays_tpu.geometry.wide_bvh import build_wide_bvh
+    from cadrays_tpu.scene.flatten import _HBM_TRIS_THRESHOLD, build_tris_hbm
 
     bridge_mask = np.zeros(N, bool)
     bridge_mask[leaf_ids] = True  # TLAS leaves became bridges
+    wl = 64 if T <= _HBM_TRIS_THRESHOLD else 16
     wide = build_wide_bvh(node_min, node_max, skip, first, count,
                           descend=descend, node_inst=node_inst,
-                          bridge=bridge_mask)
+                          bridge=bridge_mask, wide_leaf=wl)
 
     geom = GeometryData(
         vertices=jnp.asarray(vertices),
@@ -236,6 +239,9 @@ def build_instanced(
         wmeta=jnp.asarray(wide.wmeta),
         winst=jnp.asarray(wide.winst),
         worder=jnp.asarray(wide.worder),
+        tris_hbm=(build_tris_hbm(tris_packed)
+                  if tris_packed.shape[0] > _HBM_TRIS_THRESHOLD
+                  else jnp.zeros((1, 128), jnp.float32)),
         wide_leaf=wide.max_leaf,
         wide_depth=wide.max_depth,
     )

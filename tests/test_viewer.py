@@ -128,3 +128,56 @@ class TestViewerEndpoints:
         assert json.loads(_get(url, "/status"))["paused"] is True
         assert _post(url, "/pause") == "running"
         assert state.paused is False
+
+
+class TestManipulationAndFlight:
+    def test_drag_translates_picked_node_and_restarts(self, viewer):
+        """Drag-gizmo: /manip changes the node transform and bumps the
+        scene version so accumulation restarts
+        (ImRaytraceControls.cxx:32-91)."""
+        s, state, url = viewer
+        before = np.array(s.scene.model.get("s").transform)
+        v0 = s.scene._version
+        out = _post(url, "/manip",
+                    {"name": "s", "op": "translate", "dx": 40, "dy": 0})
+        assert out == "ok"
+        after = np.array(s.scene.model.get("s").transform)
+        assert not np.allclose(before, after)
+        # screen-space right drag moves along the camera right axis
+        assert abs(after[0, 3] - before[0, 3]) > 1e-4
+        assert s.scene._version != v0
+
+    def test_manip_rotate_and_scale(self, viewer):
+        s, state, url = viewer
+        before = np.array(s.scene.model.get("s").transform)
+        assert _post(url, "/manip",
+                     {"name": "s", "op": "rotate", "dx": 30, "dy": 0}) == "ok"
+        mid = np.array(s.scene.model.get("s").transform)
+        assert not np.allclose(before[:3, :3], mid[:3, :3])
+        assert _post(url, "/manip",
+                     {"name": "s", "op": "scale", "dx": 0, "dy": -40}) == "ok"
+        after = np.array(s.scene.model.get("s").transform)
+        assert np.linalg.det(after[:3, :3]) > np.linalg.det(mid[:3, :3])
+
+    def test_manip_unknown_node_errors(self, viewer):
+        s, state, url = viewer
+        out = _post(url, "/manip", {"name": "nope", "op": "translate",
+                                    "dx": 1, "dy": 1})
+        assert out.startswith("[error]")
+
+    def test_fly_moves_and_looks(self, viewer):
+        """WASD flight + mouse look (FlightControls.cxx:223-263,
+        362-414)."""
+        s, state, url = viewer
+        eye0 = np.array(s.camera.eye)
+        at0 = np.array(s.camera.at)
+        assert _post(url, "/fly", {"keys": ["w"], "dt": 0.5}) == "ok"
+        eye1 = np.array(s.camera.eye)
+        assert np.linalg.norm(eye1 - eye0) > 1e-4
+        # moved along the view direction
+        fwd = (at0 - eye0) / np.linalg.norm(at0 - eye0)
+        step = (eye1 - eye0) / np.linalg.norm(eye1 - eye0)
+        assert float(fwd @ step) > 0.99
+        assert _post(url, "/fly", {"dx": 25, "dy": 0}) == "ok"
+        at1 = np.array(s.camera.at)
+        assert not np.allclose(at1, at0 + (eye1 - eye0), atol=1e-5)

@@ -143,6 +143,27 @@ def test_wide_kernel_instanced_two_level():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_wide_kernel_hbm_streamed_matches():
+    """CAD-scale variant: triangles DMA'd from HBM per merged leaf must
+    return identical hits to the VMEM-resident kernel."""
+    from cadrays_tpu.scene.flatten import build_tris_hbm
+
+    verts, idx = _random_mesh(600, seed=31)
+    data = _flatten_simple(verts, idx)
+    geom = data.geometry.replace(
+        tris_hbm=build_tris_hbm(data.geometry.tris_packed))
+    o, d = _rays(256, seed=37)
+    tm = jnp.full((256,), 1e30)
+    ref = trace_gather(geom, o, d, tm)
+    got = trace_wide(geom, o, d, tm, interpret=True, hbm_tris=True)
+    np.testing.assert_array_equal(np.asarray(got["tri"]),
+                                  np.asarray(ref["tri"]))
+    hit = np.asarray(ref["tri"]) >= 0
+    np.testing.assert_allclose(np.asarray(got["t"])[hit],
+                               np.asarray(ref["t"])[hit], rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_wide_kernel_dual_pop_matches():
     verts, idx = _random_mesh(300, seed=23)
     data = _flatten_simple(verts, idx)
