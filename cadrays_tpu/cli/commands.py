@@ -441,12 +441,17 @@ class Console(ModelingMixin):
             if staged is None:
                 raise CommandError(f"nothing named '{name}' to display")
             mesh, ntype = staged
+            shape = None
             if isinstance(mesh, ModelingShape):
+                shape = mesh
                 try:
                     mesh = to_triangle_mesh(mesh)
                 except (ValueError, TypeError):
                     continue  # wires/curves have no render surface
             sc.add_mesh(name, mesh, preset("default"), node_type=ntype)
+            node = sc.model.get(name)
+            if node is not None:
+                node.source_shape = shape
         return ""
 
     def cmd_verase(self, args):
@@ -1115,11 +1120,22 @@ class Console(ModelingMixin):
 
     def cmd_restore(self, args):
         """restore file.(brep|ply|obj|stl) [name] — DRAW's BREP restore
-        (ImportSettingsEditor.cxx:290-316) via the native .brep reader
-        (geometry/brep.py); mesh formats stage the same way."""
+        (ImportSettingsEditor.cxx:290-316). .brep restores PARAMETRIC
+        identity: a modeling SolidShape with per-face ids (typed explode,
+        booleans and .brep re-export keep working); mesh formats stage
+        plain triangles."""
         path = self.session.resolve(args[0])
         name = args[1] if len(args) > 1 else \
             os.path.splitext(os.path.basename(path))[0]
+        if path.lower().endswith(".brep"):
+            from cadrays_tpu.geometry.brep_writer import load_brep_solid
+
+            try:
+                self.session.staging[name] = (load_brep_solid(path),
+                                              NodeType.CAD_SHAPE)
+                return name
+            except (ValueError, OSError):
+                pass  # fall through to the mesh reader
         parts = _load_mesh_file(path)
         mesh = TriangleMesh.merge([p.mesh for p in parts])
         self.session.staging[name] = (mesh, NodeType.CAD_SHAPE)
@@ -1210,11 +1226,18 @@ def _load_mesh_file(path: str):
             return [LoadedPart(mesh=m) for m in load_cad(path)]
         except (RuntimeError, ValueError) as e:
             raise CommandError(str(e)) from e
-    if low.endswith((".fbx", ".blend")):
+    if low.endswith(".fbx"):
+        from cadrays_tpu.geometry.loaders.fbx import load_fbx
+
+        try:
+            return load_fbx(path)
+        except ValueError as e:
+            raise CommandError(str(e)) from e
+    if low.endswith(".blend"):
         raise CommandError(
-            f"{os.path.splitext(path)[1]} needs an external converter "
-            "(no native parser): export to glTF/OBJ/PLY first — e.g. "
-            "`blender -b file.blend -o out.glb` or assimp/FBX2glTF.")
+            ".blend needs an external converter (no native parser): "
+            "export to glTF/OBJ/PLY first — e.g. "
+            "`blender -b file.blend -o out.glb`.")
     raise CommandError(
         f"unsupported mesh format: {path} (obj/ply/stl/gltf/glb/3ds/dxf "
         "native; STEP/IGES/BREP via a CAD tessellation backend, "

@@ -107,8 +107,17 @@ def _transform_commands(name: str, node: DataNode) -> List[str]:
 
 
 def export_scene(session, directory: str,
-                 save_accumulator: bool = False) -> str:
-    """Write `<dir>/model.crt` + assets; returns the script path."""
+                 save_accumulator: bool = False,
+                 draw_compat: bool = False) -> str:
+    """Write `<dir>/model.crt` + assets; returns the script path.
+
+    Nodes displayed from the modeling kernel (or `restore`) carry their
+    parametric shape and are persisted as `shapes/<name>.brep` +
+    `restore` lines instead of baked triangles
+    (ImportExport.cxx:69-81); meshes and curved shapes fall back to PLY.
+    draw_compat=True writes ONLY shapes + display + materials (no
+    meshes, groups, textures, view) so the script loads in a bare DRAW
+    session — ImportExport.cxx:124-128 parity."""
     os.makedirs(directory, exist_ok=True)
     mesh_dir = os.path.join(directory, "meshes")
     os.makedirs(mesh_dir, exist_ok=True)
@@ -153,29 +162,56 @@ def export_scene(session, directory: str,
         exported_tex[tid] = tname
         return tname
 
+    def export_shape(node: DataNode) -> bool:
+        """Persist the node's parametric shape as .brep; False when the
+        shape has curved faces (caller falls back to PLY)."""
+        shape = getattr(node, "source_shape", None)
+        if shape is None:
+            return False
+        from cadrays_tpu.geometry.brep_writer import save_brep
+
+        shape_dir = os.path.join(directory, "shapes")
+        os.makedirs(shape_dir, exist_ok=True)
+        fname = f"shapes/{node.name}.brep"
+        if not save_brep(shape, os.path.join(directory, fname)):
+            return False
+        lines.append(f"restore {fname} {node.name}")
+        lines.append(f"vdisplay {node.name}")
+        return True
+
     def walk(node: DataNode):
         child_names = []
         for c in node.children:
             child_names.extend(walk(c))
+        def emit_textures(node):
+            scale = float(np.asarray(node.material.uv_scale)[0])
+            tid = int(np.asarray(node.material.tex_id)[0])
+            if tid >= 0 and not draw_compat:
+                lines.append(f"rttexture {node.name} {export_texture(tid)} "
+                             f"-scale {_fmt(scale)}")
+            ks_tid = int(np.asarray(node.material.ks_tex_id)[0])
+            if ks_tid >= 0 and not draw_compat:
+                lines.append(
+                    f"rttexture {node.name} {export_texture(ks_tid)} "
+                    f"-scale {_fmt(scale)} -ks")
+
         if node.mesh is not None:
+            if export_shape(node):
+                if not node.visible:
+                    lines.append(f"rterase {node.name}")
+                lines.extend(bsdf_commands(node.name, node.material))
+                emit_textures(node)
+                lines.extend(_transform_commands(node.name, node))
+                return [node.name]
+            if draw_compat:
+                return []  # DRAW-compat drops mesh nodes entirely
             fname = f"meshes/{node.name}.ply"
             save_ply(os.path.join(directory, fname), node.mesh)
             lines.append(f"rtmeshread {fname} {node.name} -group")
             if not node.visible:
                 lines.append(f"rterase {node.name}")
             lines.extend(bsdf_commands(node.name, node.material))
-            scale = float(np.asarray(node.material.uv_scale)[0])
-            tid = int(np.asarray(node.material.tex_id)[0])
-            if tid >= 0:
-                lines.append(f"rttexture {node.name} {export_texture(tid)} "
-                             f"-scale {_fmt(scale)}")
-            ks_tid = int(np.asarray(node.material.ks_tex_id)[0])
-            if ks_tid >= 0:
-                # glossy-lobe map: separate slot flag so the Ks texture
-                # survives the round-trip (round-2 advisor finding)
-                lines.append(
-                    f"rttexture {node.name} {export_texture(ks_tid)} "
-                    f"-scale {_fmt(scale)} -ks")
+            emit_textures(node)
             lines.extend(_transform_commands(node.name, node))
             return [node.name]
         if child_names and node.parent is not None:
@@ -194,10 +230,11 @@ def export_scene(session, directory: str,
     for root in (sc.model.shapes_root, sc.model.meshes_root):
         for top in root.children:
             walk(top)
-    lines.extend(group_cmds)
+    if not draw_compat:
+        lines.extend(group_cmds)
 
     # environment (ImportExport.cxx:501-511)
-    if sc.envmap is not None:
+    if sc.envmap is not None and not draw_compat:
         env_path = os.path.join(directory, "textures")
         os.makedirs(env_path, exist_ok=True)
         write_hdr(os.path.join(env_path, "environment.hdr"),
@@ -205,6 +242,14 @@ def export_scene(session, directory: str,
         lines.append("vtextureenv on textures/environment.hdr")
         if not sc.envmap.background:
             lines.append("vbackground -env 0")
+
+    if draw_compat:
+        # DRAW-compatible script: shapes + materials only
+        # (ImportExport.cxx:124-128 drops meshes/hierarchy/view state)
+        script = os.path.join(directory, "model.crt")
+        with open(script, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return script
 
     # camera (ImportExport.cxx:436-499)
     cam = session.camera

@@ -61,6 +61,10 @@ class DataNode:
         self.children: List["DataNode"] = []
         self.parent: Optional["DataNode"] = None
         self.texture_path: Optional[str] = None
+        # parametric origin (a modeling Shape) when displayed from the
+        # modeling kernel/restore: lets scene export persist the shape as
+        # .brep instead of baked triangles (ImportExport.cxx:69-81)
+        self.source_shape = None
 
     # -- structure ---------------------------------------------------------
     @property

@@ -7,6 +7,7 @@ the same layout BRepTools::Write emits.
 """
 import math
 
+import os
 import numpy as np
 import pytest
 
@@ -216,3 +217,97 @@ class TestCommandSurface:
         assert "part" in sess.staging
         c.exec("vdisplay part")
         assert sess.scene.model.get("part") is not None
+
+
+class TestBrepWriter:
+    """OCCT-text .brep WRITER (geometry/brep_writer.py) — the inverse of
+    the reader; parametric round-trip for scene export
+    (ImportExport.cxx:69-81)."""
+
+    def test_solid_roundtrip_preserves_faces_and_volume(self, tmp_path):
+        from cadrays_tpu.cli.commands import Console, Session
+        from cadrays_tpu.geometry.brep_writer import (load_brep_solid,
+                                                      save_brep)
+        from cadrays_tpu.modeling.topo import shape_mesh
+
+        c = Console(Session())
+        c.exec("box b 2 1 3")
+        shape, _ = c.session.staging["b"]
+        path = str(tmp_path / "box.brep")
+        assert save_brep(shape, path)
+        s2 = load_brep_solid(path)
+        assert len(np.unique(s2.face_id)) == 6  # face identity preserved
+        v, t, f = shape_mesh(s2)
+        vol = float(np.einsum("ij,ij->i", v[t[:, 0]],
+                              np.cross(v[t[:, 1]], v[t[:, 2]])).sum() / 6)
+        assert vol == pytest.approx(6.0, rel=1e-6)
+
+    def test_boolean_solid_roundtrip(self, tmp_path):
+        """A cut solid (planar faces incl. the pocket) must survive."""
+        from cadrays_tpu.cli.commands import Console, Session
+        from cadrays_tpu.geometry.brep_writer import (load_brep_solid,
+                                                      save_brep)
+        from cadrays_tpu.modeling.topo import shape_mesh
+
+        c = Console(Session())
+        c.exec("box a 2 2 2")
+        c.exec("box t 1 1 3")
+        c.exec("bcut r a t")
+        shape, _ = c.session.staging["r"]
+        path = str(tmp_path / "cut.brep")
+        assert save_brep(shape, path)
+        s2 = load_brep_solid(path)
+        v, t, f = shape_mesh(s2)
+        vol = float(np.einsum("ij,ij->i", v[t[:, 0]],
+                              np.cross(v[t[:, 1]], v[t[:, 2]])).sum() / 6)
+        assert vol == pytest.approx(8.0 - 2.0, rel=1e-4)
+
+    def test_curved_shape_returns_none(self):
+        from cadrays_tpu.cli.commands import Console, Session
+        from cadrays_tpu.geometry.brep_writer import shape_to_brep
+
+        c = Console(Session())
+        c.exec("psphere s 1")
+        shape, _ = c.session.staging["s"]
+        assert shape_to_brep(shape) is None  # curved: PLY fallback
+
+    def test_scene_export_persists_shapes_as_brep(self, tmp_path):
+        from cadrays_tpu.cli.commands import Console, Session
+        from cadrays_tpu.scene.io import export_scene, import_scene
+
+        c = Console(Session())
+        c.exec("vlight add positional pos 0 0 2 int 5")
+        c.exec("box b 1 1 1; vdisplay b; vbsdf b -kd 0.9 0.1 0.1")
+        d = str(tmp_path / "exp")
+        script = export_scene(c.session, d)
+        assert os.path.exists(os.path.join(d, "shapes", "b.brep"))
+        assert "restore shapes/b.brep b" in open(script).read()
+        s2 = Session()
+        import_scene(s2, script)
+        node = s2.scene.model.get("b")
+        assert node is not None
+        # parametric identity restored: the node carries a SolidShape again
+        from cadrays_tpu.modeling.topo import SolidShape
+
+        assert isinstance(node.source_shape, SolidShape)
+        kd = np.asarray(node.material.kd).reshape(-1)
+        assert kd == pytest.approx([0.9, 0.1, 0.1], abs=1e-5)
+
+    def test_draw_compat_export_drops_meshes_and_view(self, tmp_path):
+        from cadrays_tpu.cli.commands import Console, Session
+        from cadrays_tpu.geometry.mesh import TriangleMesh
+        from cadrays_tpu.scene.io import export_scene
+
+        c = Console(Session())
+        c.exec("box b 1 1 1; vdisplay b")
+        mesh = TriangleMesh(
+            np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+            np.array([[0, 1, 2]], np.int32))
+        c.session.scene.add_mesh("tri", mesh)
+        script = export_scene(c.session, str(tmp_path / "dc"),
+                              draw_compat=True)
+        text = open(script).read()
+        assert "restore shapes/b.brep b" in text
+        assert "rtmeshread" not in text      # meshes dropped
+        assert "vviewparams" not in text     # view state dropped
+        assert "rtgroup" not in text

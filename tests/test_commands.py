@@ -248,7 +248,20 @@ class TestSceneIO:
         import_scene(s2, script)
         d1 = console.session.scene.flatten(console.session.camera)
         d2 = s2.scene.flatten(s2.camera)
-        assert d1.geometry.num_triangles == d2.geometry.num_triangles
+        # CAD shapes round-trip PARAMETRICALLY (shapes/*.brep + restore)
+        # and re-tessellate, so triangle counts may differ; the REFERENCED
+        # geometry must cover the same bounds (meshes may carry unused
+        # vertices, e.g. exploded box faces keep the full vertex table)
+        # and materials must survive exactly.
+        def used_bounds(d):
+            v = np.asarray(d.geometry.vertices)
+            used = np.unique(np.asarray(d.geometry.tri_v))
+            return v[used].min(axis=0), v[used].max(axis=0)
+
+        lo1, hi1 = used_bounds(d1)
+        lo2, hi2 = used_bounds(d2)
+        np.testing.assert_allclose(lo1, lo2, atol=1e-4)
+        np.testing.assert_allclose(hi1, hi2, atol=1e-4)
         np.testing.assert_allclose(
             np.sort(np.asarray(d1.materials.kd), axis=0),
             np.sort(np.asarray(d2.materials.kd), axis=0), atol=1e-5)

@@ -313,7 +313,9 @@ class TestLdrFormats:
     def test_fbx_gated(self, tmp_path):
         from cadrays_tpu.cli.commands import CommandError, Console, Session
 
+        # empty file: the native ASCII reader rejects it with a clear
+        # message (binary FBX still points at the conversion shim)
         path = str(tmp_path / "x.fbx")
         open(path, "wb").close()
-        with pytest.raises(CommandError, match="glTF"):
+        with pytest.raises(CommandError, match="ASCII FBX"):
             Console(Session()).exec(f"rtmeshread {path}")
