@@ -30,6 +30,8 @@ def main(argv=None) -> int:
     ap.add_argument("--fps-file", default=None)
     ap.add_argument("--step", type=int, default=None,
                     help="samples per progressive step (default: all at once)")
+    ap.add_argument("--log", default=None,
+                    help="append structured JSONL events to this file")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -39,9 +41,14 @@ def main(argv=None) -> int:
     from cadrays_tpu.integrator.progressive import progressive_step
     from cadrays_tpu.utils.image import save_image
 
+    from cadrays_tpu.utils.log import configure, get_logger
+
+    configure(path=args.log, human=False)
+    log = get_logger("render")
     session = Session()
     session.cwd = os.path.dirname(os.path.abspath(args.script)) or "."
     console = make_console(session)
+    log.info("scene.load", script=args.script)
     console.source(args.script)
     if args.res:
         session.width, session.height = args.res
@@ -74,6 +81,8 @@ def main(argv=None) -> int:
         save_image(args.hdr, hdr)
 
     fps = args.spp / dt if dt > 0 else 0.0
+    log.info("render.done", scene=name, spp=args.spp,
+             seconds=round(dt, 3), spp_per_s=round(fps, 3), out=out)
     line = json.dumps({"scene": name, "spp": args.spp,
                        "res": [session.width, session.height],
                        "seconds": round(dt, 3),
