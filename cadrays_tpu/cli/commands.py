@@ -1118,6 +1118,21 @@ class Console(ModelingMixin):
     def cmd_source(self, args):
         return self.source(self.session.resolve(args[0]))
 
+    def cmd_rtexport(self, args):
+        """rtexport dir [-draw] [-accum] — serialize the scene to a
+        re-runnable script + assets (AppGui.cxx:199-213 export menu).
+        -draw writes the DRAW-compatible shapes-only script
+        (ImportExport.cxx:124-128); -accum checkpoints the accumulator."""
+        from cadrays_tpu.scene.io import export_scene
+
+        if not args:
+            raise CommandError("rtexport: expected a directory")
+        out = export_scene(
+            self.session, self.session.resolve(args[0]),
+            save_accumulator="-accum" in args,
+            draw_compat="-draw" in args)
+        return out
+
     def cmd_restore(self, args):
         """restore file.(brep|ply|obj|stl) [name] — DRAW's BREP restore
         (ImportSettingsEditor.cxx:290-316). .brep restores PARAMETRIC

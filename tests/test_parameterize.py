@@ -82,11 +82,19 @@ class TestNormalizePartUVs:
             np.testing.assert_allclose(puv.max(axis=0), 1.0, atol=1e-6)
 
     def test_dispatcher_routes_raw_params(self):
+        """CAD surface parameters (raw_uvs=True) normalize to [0,1];
+        imported artist UVs outside [0,1] are intentional tiling and
+        must be kept verbatim (round-2 advisor finding)."""
         v = np.random.RandomState(1).rand(3, 3).astype(np.float32)
-        m = TriangleMesh(v, np.int32([[0, 1, 2]]),
-                         uvs=np.float32([[0, 0], [6.28, 0], [0, 2.0]]))
-        out = parameterize_mesh(m)
+        uv = np.float32([[0, 0], [6.28, 0], [0, 2.0]])
+        raw = TriangleMesh(v, np.int32([[0, 1, 2]]), uvs=uv.copy())
+        raw.raw_uvs = True
+        out = parameterize_mesh(raw)
         assert out.uvs.max() <= 1 + 1e-6
+        assert not out.raw_uvs  # normalized exactly once
+
+        tiled = TriangleMesh(v, np.int32([[0, 1, 2]]), uvs=uv.copy())
+        np.testing.assert_allclose(parameterize_mesh(tiled).uvs, uv)
 
     def test_dispatcher_keeps_good_uvs(self):
         v = np.random.RandomState(2).rand(3, 3).astype(np.float32)
