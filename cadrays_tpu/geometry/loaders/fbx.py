@@ -228,11 +228,18 @@ def load_fbx(path: str) -> List[LoadedPart]:
     if up_axis == 1:
         axis_fix[:3, :3] = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]],
                                     np.float64) * 1.0
-        if up_sign < 0:
-            axis_fix[:3, :3] = -axis_fix[:3, :3]
     elif up_axis == 0:
         axis_fix[:3, :3] = np.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]],
                                     np.float64)
+    if up_sign < 0:
+        # Source up points along the NEGATIVE axis: pre-rotate 180 deg
+        # about a horizontal source axis (negate the up column and one
+        # other) — a proper rotation, unlike negating the whole matrix,
+        # which mirrors the geometry (det -1).
+        d = np.ones(3)
+        d[up_axis] = -1.0
+        d[(up_axis + 1) % 3] = -1.0
+        axis_fix[:3, :3] = axis_fix[:3, :3] * d[None, :]
 
     parts: List[LoadedPart] = []
     for mid, gid in geom_of_model.items():

@@ -109,6 +109,16 @@ def build_wide_bvh(node_min: np.ndarray, node_max: np.ndarray,
     node_inst: instance id per node (-1 = world/TLAS).
     """
     N = skip.shape[0]
+    if int(np.sum(count)) == 0:
+        # Zero-triangle geometry (everything welded/degenerated away):
+        # return the "no wide tree" placeholder (matches the GeometryData
+        # defaults; fits_wide rejects it and traversal falls back).
+        return WideBVH(
+            wboxes=np.zeros((1, 6), np.float32),
+            wmeta=np.full((1, 1), 0x7FFFFFFF, np.int32),
+            winst=np.full((1, 1), -1, np.int32),
+            worder=np.zeros((1, 8), np.int32),
+            max_depth=0, max_leaf=wide_leaf)
     if descend is None:
         descend = np.arange(1, N + 1, dtype=np.int64)
     descend = np.asarray(descend, np.int64)

@@ -48,9 +48,20 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 STACK_CAP = 192
 
 
+def _stack_fits(geom: GeometryData) -> bool:
+    """Worst-case stack bound: each wide-node pop nets +(width-1)
+    entries, so a depth-D tree needs at most 1 + (width-1)*D slots.
+    Deeper trees fall back to the binary kernels (overflow would write
+    out of SMEM bounds silently)."""
+    width = geom.wmeta.shape[1]
+    return 1 + (width - 1) * max(int(geom.wide_depth), 1) <= STACK_CAP
+
+
 def fits_wide(geom: GeometryData) -> bool:
     if geom.wmeta.shape[0] <= 1 and geom.wmeta.shape[1] == 1:
         return False  # placeholder: no wide tree built
+    if not _stack_fits(geom):
+        return False
     need = (geom.wboxes.size + geom.wmeta.size + geom.winst.size
             + geom.tris_packed.size) * 4 + BLOCK * 4 * 24
     return need < _VMEM_BUDGET
@@ -63,6 +74,8 @@ def fits_wide_hbm(geom: GeometryData) -> bool:
         return False
     if geom.tris_hbm.shape[0] <= 1:
         return False  # no padded HBM table built (small scene)
+    if not _stack_fits(geom):
+        return False
     need = (geom.wboxes.size + geom.wmeta.size + geom.winst.size
             + geom.worder.size) * 4 + BLOCK * 4 * 24
     return need < _VMEM_BUDGET

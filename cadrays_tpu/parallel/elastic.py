@@ -86,6 +86,10 @@ def render_with_recovery(data, camera, params, width: int, height: int,
             state = None
 
     failures = 0
+    # Samples accumulated since the last checkpoint write — NOT a modulo
+    # on absolute spp, which never fires when samples_per_step does not
+    # divide checkpoint_every (a crash would then restart from zero).
+    done_since_save = 0
     while state is None or int(state.spp) < spp:
         done = 0 if state is None else int(state.spp)
         n = min(samples_per_step, spp - done)
@@ -102,8 +106,9 @@ def render_with_recovery(data, camera, params, width: int, height: int,
             state = (load_state(checkpoint_path)
                      if os.path.exists(checkpoint_path) else None)
             continue
-        if int(state.spp) % checkpoint_every == 0 \
-                or int(state.spp) >= spp:
+        done_since_save += n
+        if done_since_save >= checkpoint_every or int(state.spp) >= spp:
             save_state(state, checkpoint_path)
             log.debug("checkpoint", spp=int(state.spp))
+            done_since_save = 0
     return state

@@ -21,12 +21,15 @@ SCRIPTS = "/root/reference/data/scripts"
 #          total |signed volume|)
 # Volumes recorded from the gated run; a CSG/offset/fillet regression
 # that eats or doubles material moves them far outside the +-25% band.
+# Budgets ~= 3x wall-clock measured round 4 (Bottle 2.8s, Cpu 2.9s,
+# Cutter 11.7s, Drill 1.7s, Shape 6.7s) so the interactive-speed win
+# (round-2 weak #4: Bottle once took 224 s) cannot silently regress.
 EXPECT = {
-    "Bottle": ({"bottle"}, 10_000, 120_000, 90, 16_551.0),
-    "Cpu": (None, 50_000, 500_000, 90, 4_708.0),  # 19 board_* parts
-    "Cutter": ({"cutter"}, 20_000, 250_000, 120, 922.0),
-    "Drill": ({"drill", "sec"}, 10_000, 150_000, 90, 3_285.0),
-    "Shape": ({"result"}, 5_000, 60_000, 120, 10_673_000.0),
+    "Bottle": ({"bottle"}, 10_000, 120_000, 9, 16_551.0),
+    "Cpu": (None, 50_000, 500_000, 10, 4_708.0),  # 19 board_* parts
+    "Cutter": ({"cutter"}, 20_000, 250_000, 36, 922.0),
+    "Drill": ({"drill", "sec"}, 10_000, 150_000, 6, 3_285.0),
+    "Shape": ({"result"}, 5_000, 60_000, 21, 10_673_000.0),
 }
 
 
