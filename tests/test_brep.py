@@ -262,14 +262,87 @@ class TestBrepWriter:
                               np.cross(v[t[:, 1]], v[t[:, 2]])).sum() / 6)
         assert vol == pytest.approx(8.0 - 2.0, rel=1e-4)
 
-    def test_curved_shape_returns_none(self):
-        from cadrays_tpu.cli.commands import Console, Session
-        from cadrays_tpu.geometry.brep_writer import shape_to_brep
+    def test_curved_primitives_roundtrip(self, tmp_path):
+        """Round-4: quadric faces are written parametrically (trimmed
+        cylinder/cone/sphere/torus records), not dropped to PLY —
+        ImportExport.cxx:69-81 parity for curved shapes."""
+        import numpy as np
 
-        c = Console(Session())
-        c.exec("psphere s 1")
-        shape, _ = c.session.staging["s"]
-        assert shape_to_brep(shape) is None  # curved: PLY fallback
+        from cadrays_tpu.geometry import primitives
+        from cadrays_tpu.geometry.brep_writer import (load_brep_solid,
+                                                      save_brep)
+        from cadrays_tpu.modeling.ops import cone_solid, cylinder_solid
+        from cadrays_tpu.modeling.topo import SolidShape, shape_mesh
+
+        def vol(v, t):
+            p0, p1, p2 = v[t[:, 0]], v[t[:, 1]], v[t[:, 2]]
+            return float(np.einsum("ij,ij->i", p0,
+                                   np.cross(p1, p2)).sum() / 6.0)
+
+        sph = primitives.sphere(2.0, 64, 32)
+        tor = primitives.torus(3.0, 0.8)
+        cases = {
+            "sphere": (SolidShape(sph.vertices, sph.indices), 1),
+            "torus": (SolidShape(tor.vertices, tor.indices), 1),
+            "cylinder": (cylinder_solid(1.5, 4.0), 3),
+            "cone": (cone_solid(2.0, 0.5, 3.0), 3),
+        }
+        for name, (shape, n_faces) in cases.items():
+            path = str(tmp_path / f"{name}.brep")
+            assert save_brep(shape, path), f"{name}: fell back to PLY"
+            s2 = load_brep_solid(path)
+            v1, t1, f1 = shape_mesh(shape)
+            v2, t2, f2 = shape_mesh(s2)
+            assert len(np.unique(f2)) == n_faces, name
+            assert np.allclose(np.ptp(v1, axis=0), np.ptp(v2, axis=0),
+                               atol=0.02), name
+            assert abs(vol(v1, t1) - vol(v2, t2)) < 0.02 * abs(vol(v1, t1))
+
+    def test_csg_cut_cylinder_roundtrip(self, tmp_path):
+        """CSG descendants keep parametric identity: a box-cut cylinder's
+        side face is a partial cylinder patch, written as a trimmed
+        surface whose UV footprint matches the cut."""
+        import numpy as np
+
+        from cadrays_tpu.geometry.brep_writer import (load_brep_solid,
+                                                      save_brep)
+        from cadrays_tpu.modeling.csg import solid_boolean
+        from cadrays_tpu.modeling.ops import cylinder_solid, prism
+        from cadrays_tpu.modeling.surfaces import Plane
+        from cadrays_tpu.modeling.topo import FaceShape, shape_mesh
+
+        cyl = cylinder_solid(1.5, 4.0)
+        sq = np.array([[-3, -3], [3, -3], [3, 3], [-3, 3]], float)
+        box = prism(FaceShape(Plane((0, 0, 2.5)), [sq]),
+                    np.array([0, 0, 3.0]))
+        cut = solid_boolean(cyl, box, 1)
+        path = str(tmp_path / "cut.brep")
+        assert save_brep(cut, path)
+        assert "2 " in open(path).read()  # a cylinder surface record
+        s2 = load_brep_solid(path)
+        v2, _, f2 = shape_mesh(s2)
+        assert len(np.unique(f2)) == 3
+        assert abs(float(v2[:, 2].max()) - 2.5) < 1e-6
+        # restored vertices lie on the r=1.5 cylinder or the caps
+        side = v2[(v2[:, 2] > 1e-6) & (v2[:, 2] < 2.5 - 1e-6)]
+        r = np.hypot(side[:, 0], side[:, 1])
+        assert np.all(np.abs(r - 1.5) < 5e-3)
+
+    def test_freeform_mesh_still_falls_back(self):
+        """A sculpted (non-quadric) curved mesh must NOT misclassify —
+        shape_to_brep returns None and the exporter keeps PLY."""
+        import numpy as np
+
+        from cadrays_tpu.geometry.brep_writer import shape_to_brep
+        from cadrays_tpu.modeling.topo import SolidShape
+
+        # bumpy sphere: radius modulated by spherical harmonics-ish term
+        from cadrays_tpu.geometry import primitives
+        m = primitives.sphere(1.0, 32, 16)
+        v = np.asarray(m.vertices, np.float64)
+        r = 1.0 + 0.05 * np.sin(5 * np.arctan2(v[:, 1], v[:, 0]))
+        assert shape_to_brep(
+            SolidShape(v * r[:, None], m.indices)) is None
 
     def test_scene_export_persists_shapes_as_brep(self, tmp_path):
         from cadrays_tpu.cli.commands import Console, Session
