@@ -1,12 +1,13 @@
-"""Native ASCII-FBX reader (FBX 7.x text format).
+"""Native FBX reader — ASCII (FBX 7.x text) AND Kaydara binary.
 
 Closes the reference's Assimp import matrix (FBX entry,
 src/Launcher/ImportSettingsEditor.cxx:199-277): Geometry nodes
 (Vertices / PolygonVertexIndex / LayerElementNormal / LayerElementUV),
 Model local TRS, Materials (Diffuse/Specular/Emissive color, Shininess)
-and the OO/OP Connections wiring them together. Binary FBX stays behind
-the documented conversion hint (cli/commands.py) — the reference relies
-on Assimp for that too.
+and the OO/OP Connections wiring them together. Binary files parse into
+the same node tree (zlib-deflated arrays, 32-bit <2016 and 64-bit
+>=2016 record layouts, the "name\\x00\\x01class" string convention), so
+the whole semantics layer is shared between the two containers.
 
 Coordinate convention: FBX is Y-up by default; the importer converts to
 the framework's Z-up (the reference applies the same fix-up via its
@@ -88,6 +89,109 @@ def _parse_ascii(text: str) -> FbxNode:
     return root
 
 
+def _parse_binary(data: bytes) -> FbxNode:
+    """Kaydara FBX Binary -> the same FbxNode tree `_parse_ascii` builds,
+    so the whole semantics layer (Geometry/Model/Material/Connections)
+    is shared. Array properties may be zlib-deflated (Encoding=1);
+    strings use the binary "name\\x00\\x01class" convention, normalized
+    here to the ASCII "class::name" form."""
+    import struct
+    import zlib
+
+    version = struct.unpack_from("<I", data, 23)[0]
+    wide = version >= 7500  # 64-bit offsets from FBX 2016 on
+    offs_fmt = "<QQQB" if wide else "<IIIB"
+    offs_len = struct.calcsize(offs_fmt)
+
+    def norm_str(b: bytes):
+        try:
+            s = b.decode("utf-8", errors="replace")
+        except Exception:
+            return ""
+        if "\x00\x01" in s:
+            name, cls = s.split("\x00\x01", 1)
+            return f"{cls}::{name}"
+        return s
+
+    def read_props(pos: int, count: int, out: list) -> int:
+        for _ in range(count):
+            tc = data[pos:pos + 1]
+            pos += 1
+            if tc == b"Y":
+                out.append(struct.unpack_from("<h", data, pos)[0])
+                pos += 2
+            elif tc == b"C":
+                out.append(int(data[pos]))
+                pos += 1
+            elif tc == b"I":
+                out.append(struct.unpack_from("<i", data, pos)[0])
+                pos += 4
+            elif tc == b"F":
+                out.append(struct.unpack_from("<f", data, pos)[0])
+                pos += 4
+            elif tc == b"D":
+                out.append(struct.unpack_from("<d", data, pos)[0])
+                pos += 8
+            elif tc == b"L":
+                out.append(struct.unpack_from("<q", data, pos)[0])
+                pos += 8
+            elif tc in (b"f", b"d", b"l", b"i", b"b"):
+                n, enc, clen = struct.unpack_from("<III", data, pos)
+                pos += 12
+                dty = {b"f": "<f4", b"d": "<f8", b"l": "<i8",
+                       b"i": "<i4", b"b": "u1"}[tc]
+                if enc == 1:
+                    raw = zlib.decompress(data[pos:pos + clen])
+                    pos += clen
+                else:
+                    nbytes = n * np.dtype(dty).itemsize
+                    raw = data[pos:pos + nbytes]
+                    pos += nbytes
+                arr = np.frombuffer(raw, dtype=dty, count=n)
+                out.extend(float(x) if tc in (b"f", b"d") else int(x)
+                           for x in arr)
+            elif tc == b"S":
+                n = struct.unpack_from("<I", data, pos)[0]
+                pos += 4
+                out.append(norm_str(data[pos:pos + n]))
+                pos += n
+            elif tc == b"R":
+                n = struct.unpack_from("<I", data, pos)[0]
+                pos += 4 + n
+            else:
+                raise ValueError(f"fbx: unknown property type {tc!r}")
+        return pos
+
+    def read_node(pos: int, parent: FbxNode) -> int:
+        """Parse one node record; returns position after it (0 = null)."""
+        end, n_props, _plen, name_len = struct.unpack_from(
+            offs_fmt, data, pos)
+        pos += offs_len
+        if end == 0:  # null terminator record
+            return 0
+        name = data[pos:pos + name_len].decode("ascii", errors="replace")
+        pos += name_len
+        node = FbxNode(name)
+        parent.children.append(node)
+        pos = read_props(pos, n_props, node.props)
+        while pos < end:
+            nxt = read_node(pos, node)
+            if nxt == 0:
+                pos += offs_len  # consumed the null record
+                break
+            pos = nxt
+        return end
+
+    root = FbxNode("")
+    pos = 27  # magic(21) + [0x1a, 0x00] + version(4)
+    while pos + offs_len <= len(data):
+        nxt = read_node(pos, root)
+        if nxt == 0 or nxt <= pos:
+            break
+        pos = nxt
+    return root
+
+
 def _nums(node: Optional[FbxNode]) -> np.ndarray:
     if node is None:
         return np.zeros(0)
@@ -148,14 +252,11 @@ def _triangulate_polys(poly_idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 def load_fbx(path: str) -> List[LoadedPart]:
     with open(path, "rb") as f:
-        head = f.read(32)
-    if head.startswith(b"Kaydara FBX Binary"):
-        raise ValueError(
-            "binary FBX: convert to ASCII FBX or glTF first "
-            "(e.g. FBX2glTF or the FBX Converter); the native reader "
-            "handles the FBX 7.x ASCII format")
-    with open(path, "r", errors="replace") as f:
-        root = _parse_ascii(f.read())
+        blob = f.read()
+    if blob.startswith(b"Kaydara FBX Binary"):
+        root = _parse_binary(blob)
+    else:
+        root = _parse_ascii(blob.decode("utf-8", errors="replace"))
 
     objects = root.find("Objects")
     if objects is None:

@@ -40,6 +40,12 @@ class RenderParams:
     # sort bounce rays by (octant, origin cell) before traversal — packet
     # coherence for the TPU kernels; pure reordering, estimator unchanged
     sort_rays: bool = flax.struct.field(pytree_node=False, default=True)
+    # re-sort cadence: permute the wavefront on bounces where
+    # bounce % sort_every == 0 (measured on TPU: the permutation itself
+    # costs ~4.9 ms fwd + ~3.5 ms bwd per bounce at 262k lanes, so
+    # skipping alternate bounces trades a little packet coherence for
+    # two gathers — bench/ROOFLINE.md round-4 table)
+    sort_every: int = flax.struct.field(pytree_node=False, default=2)
 
     # --- traced ----------------------------------------------------------
     radiance_clamp: jnp.ndarray = flax.struct.field(

@@ -33,7 +33,8 @@ from cadrays_tpu.core.camera import Camera
 from cadrays_tpu.core.lights import pack_lights, sample_light_rows
 from cadrays_tpu.integrator.params import RenderParams
 from cadrays_tpu.ops import envmap as envops
-from cadrays_tpu.ops.hit import build_shade_table, hit_attributes_packed
+from cadrays_tpu.ops.hit import (build_shade_table, gather_rows,
+                                 hit_attributes_packed)
 from cadrays_tpu.ops.intersect import INF, offset_ray_origin
 from cadrays_tpu.ops.texture import sample_texture
 from cadrays_tpu.ops.traverse import _coherence_key, trace
@@ -202,11 +203,20 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
         nee_contribs = []  # (vis_need, contrib, origin, wi, tmax)
         if has_lights:
             u = rng4(state["pix"], bounce, _DIM_NEE)
-            lsel = jnp.minimum(
-                (u[0] * scene.lights.count).astype(jnp.int32),
-                scene.lights.count - 1,
-            )
-            ls = sample_light_rows(light_tab[lsel], h["position"], u[1], u[2])
+            if scene.lights.count == 1:
+                # static single-light row: a broadcast instead of a per-ray
+                # row gather (TPU gathers bill ~3.1 ms per op at wavefront
+                # size — round-4 profiling) and no scatter in the backward
+                lrows = jnp.broadcast_to(light_tab[0],
+                                         (R,) + light_tab.shape[1:])
+            else:
+                lsel = jnp.minimum(
+                    (u[0] * scene.lights.count).astype(jnp.int32),
+                    scene.lights.count - 1,
+                )
+                lrows = checkpoint_name(gather_rows(light_tab, lsel),
+                                        "trace")
+            ls = sample_light_rows(lrows, h["position"], u[1], u[2])
             f, _ = eval_bsdf(mat, wo, ls["wi"], n)
             cos_i = jnp.clip(vm.dot(ls["wi"], n), 0.0, 1.0)
             vis_need = hit & ls["valid"] & (cos_i > 0.0)
@@ -320,8 +330,8 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
             lane=state["lane"],
         )
         if params.sort_rays:
-            # One wavefront-wide permutation per bounce: live lanes sorted
-            # by (direction octant, origin Morton cell) so the next
+            # One wavefront-wide permutation per sorted bounce: live lanes
+            # sorted by (direction octant, origin Morton cell) so the next
             # bounce's closest-hit AND shadow packets are coherent; dead
             # lanes sink to tail blocks, which the packet kernels retire
             # after a single root visit (t_max=0). A/B on bounce-1 rays
@@ -330,10 +340,31 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
             # is packed into a single matrix so the permutation is ONE
             # row gather, not one per field (a per-field tree_map permute
             # measured 9x slower on TPU).
-            key = _coherence_key(scene.geometry, new_origin, new_dir)
-            key = jnp.where(alive, key, jnp.int32(1 << 30))
-            perm = checkpoint_name(jnp.argsort(key), "trace")
-            new_state = _unpack_state(_pack_state(new_state)[perm])
+            #
+            # Cadence (round 4): the permutation costs ~4.9 ms fwd and its
+            # VJP ~3.5 ms bwd, so `sort_every` skips it on off-bounces —
+            # lanes then keep the previous bounce's block assignment
+            # (origins stay coherent; direction octants shuffle), which
+            # measures faster end-to-end than sorting every bounce. The
+            # permuted state is itself a saved residual: recomputing the
+            # gather in the backward costs ~3.1 ms vs ~0.15 ms of HBM
+            # residual traffic for (R, 20) floats.
+            def _sorted(m):
+                s = _unpack_state(m)
+                key = _coherence_key(scene.geometry, s["origin"],
+                                     s["direction"])
+                key = jnp.where(s["alive"], key, jnp.int32(1 << 30))
+                perm = jnp.argsort(key)
+                return m[perm]
+
+            packed = _pack_state(new_state)
+            if params.sort_every <= 1:
+                packed = _sorted(packed)
+            else:
+                packed = jax.lax.cond(
+                    bounce % params.sort_every == 0, _sorted,
+                    lambda m: m, packed)
+            new_state = _unpack_state(checkpoint_name(packed, "trace"))
         return new_state, jnp.sum(state["alive"].astype(jnp.int32))
 
     # One remat boundary per bounce: residual traffic through the scan is
@@ -416,7 +447,8 @@ def _sample_emissive(scene: SceneData, em_tab, p, u):
     idx = jnp.searchsorted(em.cdf, u[0], side="left")
     idx = jnp.clip(idx, 0, em.cdf.shape[0] - 1)
     g = scene.geometry
-    rows = em_tab[idx]  # (R, C) — the one gather
+    # the one gather; saved residual + segment-sum VJP (see ops/hit.py)
+    rows = checkpoint_name(gather_rows(em_tab, idx), "trace")
     p0 = rows[:, 0:3]
     p1 = rows[:, 3:6]
     p2 = rows[:, 6:9]

@@ -144,6 +144,29 @@ def build_shade_table(geom: GeometryData, materials) -> jnp.ndarray:
     return jnp.concatenate(cols, axis=1)
 
 
+@jax.custom_vjp
+def gather_rows(table, tid):
+    """`table[tid]` with a fused segment-sum backward.
+
+    XLA's default VJP for a row gather is a duplicate-index scatter-add
+    (measured 2.56 ms at 262k rows on TPU); `segment_sum` lowers to a
+    sorted segmented reduction instead (1.87 ms). tid is integer
+    topology — no tangent."""
+    return table[tid]
+
+
+def _gather_rows_fwd(table, tid):
+    return table[tid], (tid, table.shape[0])
+
+
+def _gather_rows_bwd(res, ct):
+    tid, T = res
+    return jax.ops.segment_sum(ct, tid, num_segments=T), None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 _MAT0 = 24  # material block offset in the packed row
 
 
@@ -174,7 +197,13 @@ def hit_attributes_packed(geom: GeometryData, table, origin, direction, tri):
     per-ray `Material` — all from one row gather of `table`."""
     hit = tri >= 0
     tid = jnp.maximum(tri, 0)
-    rows = table[tid]  # (R, C) — THE gather
+    from jax.ad_checkpoint import checkpoint_name
+
+    # THE gather: one (R, C) row lookup. Saved as a remat residual
+    # ("trace" policy, integrator/wavefront.py) — recomputing it in the
+    # backward costs ~3.1 ms/bounce while the residual write+read is
+    # ~0.15 ms of HBM traffic.
+    rows = checkpoint_name(gather_rows(table, tid), "trace")
     p0 = rows[:, 0:3]
     e1 = rows[:, 3:6]
     e2 = rows[:, 6:9]

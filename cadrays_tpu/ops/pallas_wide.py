@@ -82,7 +82,11 @@ def fits_wide_hbm(geom: GeometryData) -> bool:
 
 
 def _slab8(brow, ox, oy, oz, ix, iy, iz, t_cap, k):
-    """Child-k slab test: scalars from the 48-wide row vs (B,) lanes."""
+    """Child-k slab test: scalars from the 48-wide row vs (B,) lanes.
+
+    Returns (hit mask, per-lane entry distance masked to +inf on miss) —
+    the min entry distance over hitting lanes rides the stack so pops can
+    skip entries the tightened t already excludes."""
     b = k * 6
     tx0 = (brow[b + 0] - ox) * ix
     ty0 = (brow[b + 1] - oy) * iy
@@ -96,7 +100,9 @@ def _slab8(brow, ox, oy, oz, ix, iy, iz, t_cap, k):
     t_far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                     jnp.maximum(ty0, ty1)),
                         jnp.maximum(tz0, tz1))
-    return jnp.maximum(t_near, 0.0) <= jnp.minimum(t_far, t_cap)
+    t_near = jnp.maximum(t_near, 0.0)
+    hit = t_near <= jnp.minimum(t_far, t_cap)
+    return hit, jnp.where(hit, t_near, _INF)
 
 
 _ABLATE = os.environ.get("CADRAYS_WIDE_ABLATE", "")
@@ -116,13 +122,13 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
         if instanced:
             (wboxes_ref, wmeta_ref, worder_ref, winst_ref, instinv_ref,
              tris_ref, rays_ref, tm_ref, out_ref, stack_ref, sp_ref,
-             istk_ref, *extra) = refs
+             istk_ref, tstk_ref, thi_ref, *extra) = refs
         else:
             (wboxes_ref, wmeta_ref, worder_ref, tris_ref, rays_ref, tm_ref,
-             out_ref, stack_ref, sp_ref, *extra) = refs
+             out_ref, stack_ref, sp_ref, tstk_ref, thi_ref, *extra) = refs
             winst_ref = instinv_ref = istk_ref = None
         if hbm_tris:
-            tbuf_ref, dsem_ref = extra
+            tbuf_ref, dsem_ref, pend_ref, ptmin_ref = extra
 
         ox = rays_ref[0, :]
         oy = rays_ref[1, :]
@@ -148,6 +154,14 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
 
         stack_ref[0] = jnp.int32(-2)
         sp_ref[0] = jnp.int32(1)
+        tstk_ref[0] = jnp.float32(0.0)
+        if hbm_tris:
+            pend_ref[0] = jnp.int32(-1)
+        # cull threshold cache: max over relevant lanes of current best t.
+        # Only leaves change t, so it is recomputed once per leaf pop —
+        # a per-pop max-reduce measured +3.4 ms on the L16 sweep.
+        thi_ref[0] = jnp.max(jnp.where(lane_live,
+                                       jnp.minimum(tm, 1e30), 0.0))
         if instanced:
             istk_ref[0] = jnp.int32(-1)
 
@@ -180,8 +194,22 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
             return (lox, loy, loz, ldx, ldy, ldz,
                     inv(ldx), inv(ldy), inv(ldz))
 
-        def do_leaf(e, inst):
-            """Merged-leaf triangle tests (any-hit early-exits via sp)."""
+        def leaf_dma_start(e, slot):
+            """CAD scale: start streaming the leaf's triangle window from
+            the (T, 128) HBM table as an 8-row-aligned window (Mosaic DMA
+            tiling); the window is max_leaf+8 rows so any `first` phase
+            fits, and the table carries 128 spare rows for the overrun."""
+            first = e & _LEAF_MASK
+            base = first & ~jnp.int32(7)
+            cp = pltpu.make_async_copy(
+                tris_ref.at[pl.ds(base, max_leaf + 8), :],
+                tbuf_ref.at[slot], dsem_ref.at[slot])
+            cp.start()
+
+        def do_leaf(e, inst, slot=None, do_wait=True):
+            """Merged-leaf triangle tests (any-hit early-exits via sp).
+            hbm variant: waits slot's DMA (started at pop time, overlapped
+            with the node/leaf work since) and reads the VMEM window."""
             lox, loy, loz, ldx, ldy, ldz, _, _, _ = ray_in_space(inst)
             first = e & _LEAF_MASK
             count = jax.lax.shift_right_logical(e, _COUNT_SHIFT)
@@ -200,24 +228,19 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
                 open_ = lane_live
 
             if hbm_tris:
-                # CAD scale: triangles stream from the (T, 128) HBM table
-                # as an 8-row-aligned window (Mosaic DMA tiling); the
-                # window is max_leaf+8 rows so any `first` phase fits,
-                # and the table carries 128 spare rows for the overrun
                 base = first & ~jnp.int32(7)
                 phase = first - base
-                cp = pltpu.make_async_copy(
-                    tris_ref.at[pl.ds(base, max_leaf + 8), :], tbuf_ref,
-                    dsem_ref)
-                cp.start()
-                cp.wait()
+                if do_wait:
+                    pltpu.make_async_copy(
+                        tris_ref.at[pl.ds(base, max_leaf + 8), :],
+                        tbuf_ref.at[slot], dsem_ref.at[slot]).wait()
 
             n_unroll = 1 if _ABLATE == "leaf1" else max_leaf
             cands = []
             for k in range(n_unroll):
                 live_k = k < count
                 tid = jnp.where(live_k, first + k, 0)
-                trow = tbuf_ref[phase + k, :] if hbm_tris \
+                trow = tbuf_ref[slot, phase + k, :] if hbm_tris \
                     else tris_ref[tid, :]
                 pvx = ldy * trow[8] - ldz * trow[7]
                 pvy = ldz * trow[6] - ldx * trow[8]
@@ -256,12 +279,18 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
             bt, bu, bv, bk = cands[0]
 
             better = open_ & (bt < t_cur)
-            out_ref[0, :] = jnp.where(better, bt, t_cur)
+            t_new = jnp.where(better, bt, t_cur)
+            out_ref[0, :] = t_new
             new_tri = jnp.where(better, first.astype(jnp.float32) + bk,
                                 tri_cur)
             out_ref[1, :] = new_tri
             out_ref[2, :] = jnp.where(better, bu, out_ref[2, :])
             out_ref[3, :] = jnp.where(better, bv, out_ref[3, :])
+            if any_hit:
+                thi_ref[0] = jnp.max(jnp.where(
+                    lane_live & (new_tri < 0.0), t_new, 0.0))
+            else:
+                thi_ref[0] = jnp.max(jnp.where(lane_live, t_new, 0.0))
             if any_hit:
                 all_done = ~jnp.any((new_tri < 0.0) & lane_live)
 
@@ -288,14 +317,16 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
                 # precomputed per-octant rank nibbles.
                 pushes = []
                 metas = []
+                tmins = []
                 for k in range(width):
-                    hit_k = _slab8(brow, lox, loy, loz, lix, liy, liz,
-                                   t_cap, k)
+                    hit_k, tn_k = _slab8(brow, lox, loy, loz, lix, liy,
+                                         liz, t_cap, k)
                     m_k = wmeta_ref[widx, k]
                     pushes.append((jnp.any(hit_k)
                                    & (m_k != jnp.int32(0x7FFFFFFF)))
                                   .astype(jnp.int32))
                     metas.append(m_k)
+                    tmins.append(jnp.min(tn_k))
                 rword = oct_mask[0] * worder_ref[widx, 0]
                 for o in range(1, 8):
                     rword = rword + oct_mask[o] * worder_ref[widx, o]
@@ -314,6 +345,7 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
                     @pl.when(pushes[k] == 1)
                     def _(pos=pos, k=k):
                         stack_ref[pos] = metas[k]
+                        tstk_ref[pos] = tmins[k]
                         if instanced:
                             i_k = winst_ref[widx, k]
                             istk_ref[pos] = jnp.where(i_k >= 0, i_k, inst)
@@ -323,7 +355,8 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
 
             off = sp
             for k in range(width):
-                hit_k = _slab8(brow, lox, loy, loz, lix, liy, liz, t_cap, k)
+                hit_k, tn_k = _slab8(brow, lox, loy, loz, lix, liy, liz,
+                                     t_cap, k)
                 m_k = wmeta_ref[widx, k]
                 # NB: empty slots' [+inf, -inf] boxes DO pass the slab test
                 # for negative-direction rays ((inf - o) * ix flips sign),
@@ -332,8 +365,9 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
                 push_k = jnp.any(hit_k) & (m_k != jnp.int32(0x7FFFFFFF))
 
                 @pl.when(push_k)
-                def _(off=off, m_k=m_k, k=k):
+                def _(off=off, m_k=m_k, k=k, tn_k=tn_k):
                     stack_ref[off] = m_k
+                    tstk_ref[off] = jnp.min(tn_k)
                     if instanced:
                         i_k = winst_ref[widx, k]
                         istk_ref[off] = jnp.where(i_k >= 0, i_k, inst)
@@ -341,19 +375,64 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
                 off = off + push_k.astype(jnp.int32)
             sp_ref[0] = off
 
+        def process_pending():
+            """Wait the pending leaf's DMA and run its triangle tests.
+            The wait ALWAYS runs (the semaphore must pair with the
+            started copy before the slot is reused); only the compute is
+            skipped when the tightened t excludes the leaf."""
+            pe = pend_ref[0]
+
+            @pl.when(pe >= 0)
+            def _():
+                slot = pend_ref[2]
+                first = pe & _LEAF_MASK
+                base = first & ~jnp.int32(7)
+                pltpu.make_async_copy(
+                    tris_ref.at[pl.ds(base, max_leaf + 8), :],
+                    tbuf_ref.at[slot], dsem_ref.at[slot]).wait()
+
+                @pl.when(ptmin_ref[0] <= thi_ref[0])
+                def _():
+                    do_leaf(pe, pend_ref[1], slot, do_wait=False)
+                pend_ref[0] = jnp.int32(-1)
+
         def pop_one():
             top = sp_ref[0] - 1
             e = stack_ref[top]
             inst = istk_ref[top] if instanced else jnp.int32(-1)
             sp_ref[0] = top
 
+            # Packet-level t cull: the entry's min box-entry distance
+            # (recorded at push) vs the cached worst best-t over lanes.
+            # Distance-ordered pushes pop near-first, so t tightens early
+            # and far entries die here without touching their triangles.
+            worth = tstk_ref[top] <= thi_ref[0]
+
             if _ABLATE != "noleaf":
-                @pl.when(e >= 0)
-                def _():
-                    do_leaf(e, inst)
+                if hbm_tris:
+                    # 2-slot deferred-leaf pipeline: start THIS leaf's
+                    # triangle DMA, then process the PREVIOUS leaf while
+                    # the copy is in flight (ROOFLINE.md: the synchronous
+                    # per-leaf DMA was the CAD-scale bottleneck). The
+                    # pending leaf re-checks the t cull at process time —
+                    # t may have tightened since it was popped.
+                    @pl.when((e >= 0) & worth)
+                    def _():
+                        slot_new = jnp.where(pend_ref[0] >= 0,
+                                             1 - pend_ref[2], jnp.int32(0))
+                        leaf_dma_start(e, slot_new)
+                        process_pending()
+                        pend_ref[0] = e
+                        pend_ref[1] = inst
+                        pend_ref[2] = slot_new
+                        ptmin_ref[0] = tstk_ref[top]
+                else:
+                    @pl.when((e >= 0) & worth)
+                    def _():
+                        do_leaf(e, inst)
 
             if _ABLATE != "nonode":
-                @pl.when(e < 0)
+                @pl.when((e < 0) & worth)
                 def _():
                     do_node(e, inst, top)
 
@@ -369,6 +448,8 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
             return sp_ref[0]
 
         jax.lax.while_loop(cond, body, jnp.int32(1))
+        if hbm_tris:
+            process_pending()  # drain: wait + (culled) process
 
     return kernel
 
@@ -430,9 +511,13 @@ def trace_wide(geom: GeometryData, origin, direction, t_max,
                pltpu.SMEM((1,), jnp.int32)]
     if instanced:
         scratch.append(pltpu.SMEM((STACK_CAP,), jnp.int32))
+    scratch.append(pltpu.SMEM((STACK_CAP,), jnp.float32))
+    scratch.append(pltpu.SMEM((1,), jnp.float32))
     if hbm_tris:
-        scratch += [pltpu.VMEM((max_leaf + 8, 128), jnp.float32),
-                    pltpu.SemaphoreType.DMA(())]
+        scratch += [pltpu.VMEM((2, max_leaf + 8, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SMEM((3,), jnp.int32),
+                    pltpu.SMEM((1,), jnp.float32)]
 
     out = pl.pallas_call(
         _make_kernel(any_hit=any_hit, max_leaf=max_leaf, width=width,
