@@ -24,6 +24,18 @@ Serves:
   POST /pick       JSON {x, y} in image pixels — returns the vpick line
                    (hit node name + position) for the selection flow
   POST /pause      toggles the progressive loop; returns "paused"/"running"
+  GET  /tree       JSON scene tree (both roots, nested name/visible) —
+                   the DataModelWidget panel data
+  POST /node       JSON {name, op: show|hide|toggle} — per-node eye
+                   (DataModelWidget.cxx:246-264)
+  GET  /material?name=N  JSON BSDF lobes + Fresnels + preset class
+                   (MaterialEditor.cxx:350-370)
+  POST /material   JSON {name, kd|ks|kt|kc|le|baseRoughness|...|
+                   baseFresnel:{type,params}} or {name, preset} —
+                   executes as vbsdf/vsetmaterial (panel edits share the
+                   command path's validation + restart fingerprint)
+  GET  /lights     JSON light list (LightSourcesEditor panel data)
+  POST /light      JSON {op: add|del|clone|change, ...} over vlight
   GET  /scripts    JSON list of *.crt/*.tcl script names in the session
                    script dir (ScriptEditor.cxx:48-64)
   GET  /script?name=N  script source
@@ -78,6 +90,20 @@ button { background:#333; color:#eee; border:1px solid #555; padding:4px }
 <textarea id="stext" rows="14" style="width:90vw;background:#2a2a2a;
   color:#dfd;border:1px solid #555;font-family:monospace"></textarea>
 </details>
+<details><summary>scene tree</summary><div id="tree"></div></details>
+<details><summary>material</summary>
+<p><span id="mname">(pick an object)</span>
+   <select id="preset" onchange="applyPreset()">
+     <option value="">preset...</option>
+     <option>matte</option><option>metal</option><option>glossy</option>
+     <option>glass</option><option>paint</option><option>mirror</option>
+     <option>gold</option><option>copper</option><option>chrome</option>
+   </select></p>
+<div id="mat"></div></details>
+<details><summary>lights</summary>
+<p><button onclick="addLight('positional')">+ positional</button>
+   <button onclick="addLight('directional')">+ directional</button></p>
+<div id="lights"></div></details>
 <div id="log"></div>
 <script>
 async function refreshScripts(){
@@ -110,6 +136,103 @@ async function delScript(){
   logLine('delete ' + name, await r.text());
   refreshScripts();
 }
+async function refreshTree(){
+  const roots = await (await fetch('/tree')).json();
+  const render = (n, depth) =>
+    `<div style="margin-left:${depth * 14}px">` +
+    `<span style="cursor:pointer" onclick="toggleEye('${n.name}')">` +
+    `${n.visible ? '&#128065;' : '&#8212;'}</span> ` +
+    `<span style="cursor:pointer" onclick="selectNode('${n.name}')">` +
+    `${n.name}</span></div>` +
+    n.children.map(c => render(c, depth + 1)).join('');
+  document.getElementById('tree').innerHTML =
+    roots.map(r => render(r, 0)).join('');
+}
+async function toggleEye(name){
+  await fetch('/node', {method:'POST',
+    body: JSON.stringify({name: name, op: 'toggle'})});
+  refreshTree();
+}
+async function selectNode(name){
+  selected = name;
+  document.getElementById('sel').textContent = '[' + name + ']';
+  refreshMat();
+}
+const MATF = [['kd',3],['ks',3],['kt',3],['kc',3],['le',3],
+  ['baseRoughness',1],['coatRoughness',1],['absorpColor',3],
+  ['absorpCoeff',1]];
+async function refreshMat(){
+  if (!selected) return;
+  const m = await (await fetch('/material?name=' +
+    encodeURIComponent(selected))).json();
+  document.getElementById('mname').textContent =
+    m.name + ' (' + m.preset + ')';
+  let h = '';
+  for (const [k, n] of MATF){
+    const v = n === 1 ? [m[k]] : m[k];
+    h += `<div>${k}: ` + v.map((x, i) =>
+      `<input style="width:5em" id="m_${k}_${i}" value="${x}"/>`
+    ).join('') + '</div>';
+  }
+  for (const fk of ['baseFresnel', 'coatFresnel']){
+    h += `<div>${fk}: <select id="m_${fk}_t">` +
+      ['Constant','Schlick','Conductor','Dielectric'].map(t =>
+        `<option ${t === m[fk].type ? 'selected' : ''}>${t}</option>`
+      ).join('') + '</select>' + m[fk].params.slice(0, 3).map((x, i) =>
+      `<input style="width:5em" id="m_${fk}_${i}" value="${x}"/>`
+    ).join('') + '</div>';
+  }
+  h += '<button onclick="applyMat()">apply</button>';
+  document.getElementById('mat').innerHTML = h;
+}
+async function applyMat(){
+  const req = {name: selected};
+  for (const [k, n] of MATF){
+    const v = [];
+    for (let i = 0; i < n; i++)
+      v.push(parseFloat(document.getElementById(`m_${k}_${i}`).value));
+    req[k] = n === 1 ? v[0] : v;
+  }
+  for (const fk of ['baseFresnel', 'coatFresnel']){
+    const t = document.getElementById(`m_${fk}_t`).value;
+    const np = {Constant:1, Schlick:3, Conductor:2, Dielectric:1}[t];
+    const ps = [];
+    for (let i = 0; i < np; i++)
+      ps.push(parseFloat(document.getElementById(`m_${fk}_${i}`).value));
+    req[fk] = {type: t, params: ps};
+  }
+  logLine('material ' + selected,
+    await (await fetch('/material', {method:'POST',
+      body: JSON.stringify(req)})).text());
+  refreshMat();
+}
+async function applyPreset(){
+  const p = document.getElementById('preset').value;
+  if (!p || !selected) return;
+  await fetch('/material', {method:'POST',
+    body: JSON.stringify({name: selected, preset: p})});
+  refreshMat();
+}
+async function refreshLights(){
+  const ls = await (await fetch('/lights')).json();
+  document.getElementById('lights').innerHTML = ls.map((l, i) =>
+    `<div>#${i} ${l.kind} int=${l.intensity} sm=${l.smooth}` +
+    ` vec=[${l.vec.map(v => v.toFixed(2))}]` +
+    ` <button onclick="lightOp(${i},'clone')">clone</button>` +
+    ` <button onclick="lightOp(${i},'del')">del</button></div>`
+  ).join('');
+}
+async function lightOp(i, op){
+  await fetch('/light', {method:'POST',
+    body: JSON.stringify({op: op, idx: i})});
+  refreshLights();
+}
+async function addLight(kind){
+  await fetch('/light', {method:'POST',
+    body: JSON.stringify({op: 'add', kind: kind, intensity: 10})});
+  refreshLights();
+}
+refreshTree(); refreshLights();
 const img = document.getElementById('view');
 let drag = null, moved = false, selected = null;
 const keys = new Set();
@@ -285,6 +408,137 @@ def _make_handler(state: ViewerState, console):
                 np.float32)
         s.scene.touch()
 
+    def _tree_json(node):
+        """Scene-tree panel data (DataModelWidget.cxx:246-312): nested
+        name/visible/leaf records for both roots."""
+        return {
+            "name": node.name,
+            "visible": bool(node.visible),
+            "leaf": node.is_leaf,
+            "children": [_tree_json(c) for c in node.children],
+        }
+
+    def _mat_json(node):
+        """Material panel read-back incl. the preset classification from
+        nonzero lobes (MaterialEditor.cxx:350-370)."""
+        m = node.material
+        a = lambda x: [round(float(v), 6)
+                       for v in np.asarray(x).reshape(-1)]
+        kd, ks, kt, kc = a(m.kd), a(m.ks), a(m.kt), a(m.kc)
+        nz = lambda v: max(v) > 0.0
+        if nz(kc):
+            kind = "paint"
+        elif nz(kt):
+            kind = "glass"
+        elif nz(kd) and nz(ks):
+            kind = "glossy"
+        elif nz(ks):
+            kind = "metal"
+        elif nz(kd):
+            kind = "matte"
+        else:
+            kind = "custom"
+        fre = lambda t, p: {"type": ["Constant", "Schlick", "Conductor",
+                                     "Dielectric"][int(np.asarray(t)[0])],
+                            "params": a(p)}
+        return {
+            "name": node.name, "preset": kind,
+            "kd": kd, "ks": ks, "kt": kt, "kc": kc, "le": a(m.le),
+            "baseRoughness": a(m.base_rough)[0],
+            "coatRoughness": a(m.coat_rough)[0],
+            "absorpColor": a(m.absorp_color),
+            "absorpCoeff": a(m.absorp_coeff)[0],
+            "baseFresnel": fre(m.base_ftype, m.base_fparams),
+            "coatFresnel": fre(m.coat_ftype, m.coat_fparams),
+        }
+
+    _BSDF_FLAGS = {  # JSON key -> (vbsdf flag, arity)
+        "kd": ("-Kd", 3), "ks": ("-Ks", 3), "kt": ("-Kt", 3),
+        "kc": ("-Kc", 3), "le": ("-Le", 3),
+        "baseRoughness": ("-baseRoughness", 1),
+        "coatRoughness": ("-coatRoughness", 1),
+        "absorpColor": ("-absorpColor", 3),
+        "absorpCoeff": ("-absorpCoeff", 1),
+    }
+
+    def _material_edit(req):
+        """Panel edit -> vbsdf/vsetmaterial command line, executed via
+        the console so validation, energy normalization
+        (MaterialEditor.cxx:311-329) and the restart fingerprint all
+        apply exactly as for typed commands."""
+        name = req["name"]
+        if req.get("preset"):
+            return console.exec(f"vsetmaterial {name} {req['preset']}")
+        parts = [f"vbsdf {name}"]
+        for key, (flag, arity) in _BSDF_FLAGS.items():
+            if key in req:
+                v = req[key]
+                vals = [v] if arity == 1 else list(v)
+                parts.append(flag + " " + " ".join(f"{float(x):g}"
+                                                   for x in vals))
+        for key, flag in (("baseFresnel", "-baseFresnel"),
+                          ("coatFresnel", "-coatFresnel")):
+            if key in req:
+                f = req[key]
+                parts.append(f"{flag} {f['type']} " + " ".join(
+                    f"{float(x):g}" for x in f["params"]))
+        if req.get("normalize"):
+            parts.append("-n")
+        return console.exec(" ".join(parts))
+
+    def _lights_json():
+        sc = state.session.scene
+        out = []
+        for lt in sc.lights:
+            out.append({
+                "kind": ("directional" if int(np.asarray(lt.kind)[0]) == 0
+                         else "positional"),
+                "color": [round(float(v), 6)
+                          for v in np.asarray(lt.color).reshape(-1)],
+                "intensity": float(np.asarray(lt.intensity)[0]),
+                "vec": [round(float(v), 6)
+                        for v in np.asarray(lt.vec).reshape(-1)],
+                "smooth": float(np.asarray(lt.smooth)[0]),
+                "headlight": bool(float(np.asarray(lt.headlight)[0])),
+            })
+        return out
+
+    def _light_edit(req):
+        """Light panel ops over the vlight command surface
+        (LightSourcesEditor.cxx:47-87, 211-310)."""
+        op = req.get("op")
+        if op == "add":
+            kind = req.get("kind", "positional")
+            vec = req.get("vec", [0.5, 0.5, 1.0])
+            cmd = (f"vlight add {kind} "
+                   f"{'dir' if kind.startswith('dir') else 'pos'} "
+                   + " ".join(f"{float(v):g}" for v in vec)
+                   + f" int {float(req.get('intensity', 1.0)):g}"
+                   + f" sm {float(req.get('smooth', 0.0)):g}")
+            return console.exec(cmd)
+        if op == "del":
+            return console.exec(f"vlight del {int(req['idx'])}")
+        if op == "clone":
+            src = _lights_json()[int(req["idx"])]
+            return _light_edit({"op": "add", **src})
+        if op == "change":
+            idx = int(req["idx"])
+            parts = [f"vlight change {idx}"]
+            if "vec" in req:
+                kind = _lights_json()[idx]["kind"]
+                key = "dir" if kind == "directional" else "pos"
+                parts.append(key + " " + " ".join(
+                    f"{float(v):g}" for v in req["vec"]))
+            if "color" in req:
+                parts.append("color " + " ".join(
+                    f"{float(v):g}" for v in req["color"]))
+            if "intensity" in req:
+                parts.append(f"int {float(req['intensity']):g}")
+            if "smooth" in req:
+                parts.append(f"sm {float(req['smooth']):g}")
+            return console.exec(" ".join(parts))
+        raise ValueError(f"unknown light op {op!r}")
+
     def script_dir():
         d = os.path.join(state.session.cwd or ".", "scripts")
         os.makedirs(d, exist_ok=True)
@@ -320,6 +574,26 @@ def _make_handler(state: ViewerState, console):
                     "mode": s.params.mode, "paused": state.paused,
                 }).encode()
                 self._send(200, "application/json", body)
+            elif self.path.startswith("/tree"):
+                s = state.session
+                with state.lock:
+                    body = json.dumps([
+                        _tree_json(s.scene.model.shapes_root),
+                        _tree_json(s.scene.model.meshes_root),
+                    ]).encode()
+                self._send(200, "application/json", body)
+            elif self.path.startswith("/material?"):
+                q = urllib.parse.parse_qs(
+                    urllib.parse.urlparse(self.path).query)
+                node = state.session.scene.model.get(q["name"][0])
+                if node is None:
+                    self._send(404, "text/plain", b"no such node")
+                else:
+                    self._send(200, "application/json",
+                               json.dumps(_mat_json(node)).encode())
+            elif self.path.startswith("/lights"):
+                self._send(200, "application/json",
+                           json.dumps(_lights_json()).encode())
             elif self.path.startswith("/scripts"):
                 names = sorted(f for f in os.listdir(script_dir())
                                if f.endswith((".crt", ".tcl")))
@@ -406,6 +680,40 @@ def _make_handler(state: ViewerState, console):
                         out = console.exec(
                             f"vpick {float(req['x'])} {float(req['y'])}")
                     self._send(200, "text/plain", out.encode())
+                except Exception as e:
+                    self._send(200, "text/plain", f"[error] {e}".encode())
+            elif self.path.startswith("/node"):
+                # per-node eye toggle (DataModelWidget.cxx:246-264)
+                try:
+                    req = json.loads(self._body())
+                    with state.lock:
+                        node = s.scene.model.get(req["name"])
+                        if node is None:
+                            raise ValueError(f"no node '{req['name']}'")
+                        op = req.get("op", "toggle")
+                        if op == "show" or (op == "toggle"
+                                            and not node.visible):
+                            node.show()
+                        else:
+                            node.hide()
+                        s.scene.touch()
+                    self._send(200, "text/plain", b"ok")
+                except Exception as e:
+                    self._send(200, "text/plain", f"[error] {e}".encode())
+            elif self.path.startswith("/material"):
+                try:
+                    req = json.loads(self._body())
+                    with state.lock:
+                        out = _material_edit(req)
+                    self._send(200, "text/plain", (out or "ok").encode())
+                except Exception as e:
+                    self._send(200, "text/plain", f"[error] {e}".encode())
+            elif self.path.startswith("/light"):
+                try:
+                    req = json.loads(self._body())
+                    with state.lock:
+                        out = _light_edit(req)
+                    self._send(200, "text/plain", (out or "ok").encode())
                 except Exception as e:
                     self._send(200, "text/plain", f"[error] {e}".encode())
             elif self.path.startswith("/pause"):

@@ -180,9 +180,19 @@ def build_wide_bvh(node_min: np.ndarray, node_max: np.ndarray,
     def mergeable(n: int) -> bool:
         return sub_count[n] <= wide_leaf
 
+    memo: dict = {}
+
     def build_node(n: int) -> int:
-        """Create the wide node for binary interior node n; returns index."""
+        """Create the wide node for binary interior node n; returns index.
+
+        Memoized: two-level scenes whose bridges share a BLAS (instanced
+        assemblies, scene/instances.py round-4 dedup) emit the shared
+        subtree ONCE — its boxes/metas are object-space and instance-
+        independent (the instance id rides the stack, set at the bridge)."""
+        if n in memo:
+            return memo[n]
         wid = len(wmeta)
+        memo[n] = wid
         wboxes.append(np.empty(width * 6, np.float32))
         wmeta.append(np.empty(width, np.int32))
         winst.append(np.empty(width, np.int32))
@@ -222,7 +232,12 @@ def build_wide_bvh(node_min: np.ndarray, node_max: np.ndarray,
             box[k * 6 + 3:k * 6 + 6] = node_max[s]
             if is_bridge[s]:
                 child = int(descend[s])
-                inst[k] = node_inst[child]
+                # instance id: from the bridge node itself when set (the
+                # shared-BLAS layout, where the child is shared and cannot
+                # carry a per-instance id), else from the child (legacy
+                # per-instance-copy layout)
+                iv = int(node_inst[s])
+                inst[k] = iv if iv >= 0 else node_inst[child]
                 if mergeable(child) or is_leaf[child]:
                     meta[k] = leaf_entry(child)
                 else:
@@ -243,16 +258,25 @@ def build_wide_bvh(node_min: np.ndarray, node_max: np.ndarray,
     wi = np.stack(winst)
     wo = _pack_orders(wb, width)
 
-    # wide-tree depth for kernel stack sizing (children-per-push bound)
-    depth = np.zeros(len(wm), np.int32)
-    for i in range(len(wm) - 1, -1, -1):
+    # wide-tree depth for kernel stack sizing (children-per-push bound).
+    # Recursive over the (possibly shared-subtree DAG) node graph — a
+    # reverse index sweep would read shared children before computing
+    # them (their indices can be LOWER than a later referencing bridge).
+    dcache: dict = {}
+
+    def node_depth(i: int) -> int:
+        if i in dcache:
+            return dcache[i]
+        dcache[i] = 1  # cycle guard (trees/DAGs only; never hit)
         dmax = 0
         for m in wm[i]:
             if m < -1:
-                dmax = max(dmax, int(depth[-m - 2]))
-        depth[i] = dmax + 1
+                dmax = max(dmax, node_depth(-m - 2))
+        dcache[i] = dmax + 1
+        return dcache[i]
+
     return WideBVH(wboxes=wb, wmeta=wm, winst=wi, worder=wo,
-                   max_depth=int(depth[0]), max_leaf=wide_leaf)
+                   max_depth=node_depth(0), max_leaf=wide_leaf)
 
 
 def wide_stats(w: WideBVH) -> dict:

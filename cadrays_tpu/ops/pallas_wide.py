@@ -48,6 +48,18 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 STACK_CAP = 192
 
 
+def _eff_tris(geom: GeometryData):
+    """Effective wide-kernel triangle table: the compact shared-BLAS
+    table when built (instanced dedup), else the fused table."""
+    return (geom.wtris_packed if geom.wtris_packed.shape[0] > 1
+            else geom.tris_packed)
+
+
+def _eff_tris_hbm(geom: GeometryData):
+    return (geom.wtris_hbm if geom.wtris_hbm.shape[0] > 1
+            else geom.tris_hbm)
+
+
 def _stack_fits(geom: GeometryData) -> bool:
     """Worst-case stack bound: each wide-node pop nets +(width-1)
     entries, so a depth-D tree needs at most 1 + (width-1)*D slots.
@@ -63,7 +75,7 @@ def fits_wide(geom: GeometryData) -> bool:
     if not _stack_fits(geom):
         return False
     need = (geom.wboxes.size + geom.wmeta.size + geom.winst.size
-            + geom.tris_packed.size) * 4 + BLOCK * 4 * 24
+            + _eff_tris(geom).size) * 4 + BLOCK * 4 * 24
     return need < _VMEM_BUDGET
 
 
@@ -72,7 +84,7 @@ def fits_wide_hbm(geom: GeometryData) -> bool:
     the wide-node tables + ray block must fit VMEM."""
     if geom.wmeta.shape[0] <= 1 and geom.wmeta.shape[1] == 1:
         return False
-    if geom.tris_hbm.shape[0] <= 1:
+    if _eff_tris_hbm(geom).shape[0] <= 1:
         return False  # no padded HBM table built (small scene)
     if not _stack_fits(geom):
         return False
@@ -121,8 +133,8 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
         tbuf_ref = dsem_ref = None
         if instanced:
             (wboxes_ref, wmeta_ref, worder_ref, winst_ref, instinv_ref,
-             tris_ref, rays_ref, tm_ref, out_ref, stack_ref, sp_ref,
-             istk_ref, tstk_ref, thi_ref, *extra) = refs
+             wdelta_ref, tris_ref, rays_ref, tm_ref, out_ref, stack_ref,
+             sp_ref, istk_ref, tstk_ref, thi_ref, *extra) = refs
         else:
             (wboxes_ref, wmeta_ref, worder_ref, tris_ref, rays_ref, tm_ref,
              out_ref, stack_ref, sp_ref, tstk_ref, thi_ref, *extra) = refs
@@ -281,7 +293,16 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
             better = open_ & (bt < t_cur)
             t_new = jnp.where(better, bt, t_cur)
             out_ref[0, :] = t_new
-            new_tri = jnp.where(better, first.astype(jnp.float32) + bk,
+            if instanced:
+                # shared-BLAS leaves hold compact triangle ids; add the
+                # instance's fused-table offset (0 rows when unshared)
+                nn = wdelta_ref.shape[0] - 1
+                dsel = jnp.where(inst < 0, nn, inst)
+                dshift = wdelta_ref[dsel].astype(jnp.float32)
+            else:
+                dshift = 0.0
+            new_tri = jnp.where(better,
+                                first.astype(jnp.float32) + bk + dshift,
                                 tri_cur)
             out_ref[1, :] = new_tri
             out_ref[2, :] = jnp.where(better, bu, out_ref[2, :])
@@ -492,20 +513,25 @@ def trace_wide(geom: GeometryData, origin, direction, t_max,
             jnp.asarray([[1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0]],
                         jnp.float32),
         ], axis=0)
+        wdelta = (geom.wdelta if geom.wdelta.shape[0] == n_inst
+                  else jnp.zeros((n_inst,), jnp.int32))
+        wdelta = jnp.concatenate([wdelta, jnp.zeros((1,), jnp.int32)])
         in_specs += [
             pl.BlockSpec(geom.winst.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(instinv.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
-        args += [geom.winst, instinv]
+        args += [geom.winst, instinv, wdelta]
     tri_space = pltpu.ANY if hbm_tris else pltpu.VMEM
     in_specs += [
         pl.BlockSpec(memory_space=tri_space),
         pl.BlockSpec((6, B), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
-    args += [geom.tris_hbm if hbm_tris else geom.tris_packed, rays, tm]
+    args += [_eff_tris_hbm(geom) if hbm_tris else _eff_tris(geom),
+             rays, tm]
 
     scratch = [pltpu.SMEM((STACK_CAP,), jnp.int32),
                pltpu.SMEM((1,), jnp.int32)]

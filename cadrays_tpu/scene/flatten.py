@@ -91,6 +91,20 @@ class GeometryData:
         default_factory=lambda: jnp.zeros((1, 128), jnp.float32))
     wide_leaf: int = flax.struct.field(pytree_node=False, default=16)
     wide_depth: int = flax.struct.field(pytree_node=False, default=0)
+    # --- shared-BLAS wide tables (round 4) -------------------------------
+    # Instanced assemblies dedup identical (mesh, material) BLASes in the
+    # WIDE structure only: `wtris_packed`/`wtris_hbm` hold one triangle
+    # range per unique group (often 100x smaller than the fused tables,
+    # usually VMEM-resident), and the kernel adds `wdelta[inst]` to leaf
+    # hits to recover fused per-instance triangle ids, so every consumer
+    # downstream (hit tables, emissive, other backends) is unchanged.
+    # Placeholders (shape[0] == 1) mean "use the fused tables".
+    wtris_packed: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((1, 12), jnp.float32))
+    wtris_hbm: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((1, 128), jnp.float32))
+    wdelta: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((1,), jnp.int32))
 
     @property
     def num_triangles(self) -> int:
@@ -348,6 +362,10 @@ def flatten_parts(
         tris_hbm=tris_hbm,
         wide_leaf=wide.max_leaf,
         wide_depth=wide.max_depth,
+        # single-level scenes: the wide kernel's triangle tables ARE the
+        # fused ones (aliases, no extra memory)
+        wtris_packed=jnp.asarray(tris_packed),
+        wtris_hbm=tris_hbm,
     )
 
     mat_table = concat_materials(list(materials))

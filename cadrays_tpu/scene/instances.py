@@ -85,7 +85,18 @@ def build_instanced(
     if n_inst == 0:
         raise ValueError("cannot flatten an empty scene")
 
-    blases = [_mesh_blas(m) for m in meshes]
+    # BLAS per UNIQUE mesh object (assemblies repeat parts; building the
+    # SAH tree once per distinct mesh also feeds the shared-BLAS wide
+    # structure below)
+    _blas_cache: dict = {}
+
+    def _blas_of(m):
+        k = id(m)
+        if k not in _blas_cache:
+            _blas_cache[k] = _mesh_blas(m)
+        return _blas_cache[k]
+
+    blases = [_blas_of(m) for m in meshes]
 
     # ---- instance world AABBs + TLAS (leaf = 1 instance) ---------------
     inst_lo = np.zeros((n_inst, 3), np.float32)
@@ -210,12 +221,72 @@ def build_instanced(
     from cadrays_tpu.geometry.wide_bvh import build_wide_bvh
     from cadrays_tpu.scene.flatten import _HBM_TRIS_THRESHOLD, build_tris_hbm
 
-    bridge_mask = np.zeros(N, bool)
+    # ---- shared-BLAS wide structure (round 4) --------------------------
+    # Group instances by (mesh identity, material): each group's BLAS
+    # appears ONCE in the wide tree (build_wide_bvh memoizes the shared
+    # subtree; the bridge slot carries the instance id). Leaf triangle
+    # ranges index a COMPACT per-group table — often 10-100x smaller than
+    # the fused one and VMEM-resident at assembly scale — and the kernel
+    # adds wdelta[inst] to hits to recover fused per-instance ids.
+    group_key = [(id(meshes[i]), int(mat_ids[i])) for i in range(n_inst)]
+    group_of: dict = {}
+    group_rep: list = []
+    for i in range(n_inst):
+        if group_key[i] not in group_of:
+            group_of[group_key[i]] = len(group_rep)
+            group_rep.append(i)
+    group_idx = [group_of[group_key[i]] for i in range(n_inst)]
+    G = len(group_rep)
+
+    g_nodes = [blas_sizes[group_rep[g]] for g in range(G)]
+    g_tris = [tri_counts[group_rep[g]] for g in range(G)]
+    g_node_off = np.concatenate([[Nt], Nt + np.cumsum(g_nodes)])[:G]
+    g_tri_off = np.concatenate([[0], np.cumsum(g_tris)])[:G]
+    Tw = int(sum(g_tris))
+    Nw = Nt + int(sum(g_nodes))
+
+    w_min = np.zeros((Nw, 3), np.float32)
+    w_max = np.zeros((Nw, 3), np.float32)
+    w_skip = np.full(Nw, -1, np.int32)
+    w_desc = np.arange(1, Nw + 1, dtype=np.int64)
+    w_first = np.full(Nw, -1, np.int32)
+    w_count = np.zeros(Nw, np.int32)
+    w_inst = np.full(Nw, -1, np.int32)
+
+    w_min[:Nt] = tlas.node_min
+    w_max[:Nt] = tlas.node_max
+    w_skip[:Nt] = tlas.skip
+    for ln in leaf_ids:
+        inst = int(tlas.order[tlas.first[ln]])
+        w_desc[ln] = g_node_off[group_idx[inst]]
+        w_inst[ln] = inst  # the bridge carries the instance id
+    for g in range(G):
+        bvh = blases[group_rep[g]][0]
+        o = int(g_node_off[g])
+        n = g_nodes[g]
+        w_min[o:o + n] = bvh.node_min
+        w_max[o:o + n] = bvh.node_max
+        w_skip[o:o + n] = np.where(bvh.skip >= 0, bvh.skip + o, -1)
+        leaf = bvh.count > 0
+        w_first[o:o + n] = np.where(leaf, bvh.first + g_tri_off[g], -1)
+        w_count[o:o + n] = bvh.count
+
+    bridge_mask = np.zeros(Nw, bool)
     bridge_mask[leaf_ids] = True  # TLAS leaves became bridges
-    wl = 64 if T <= _HBM_TRIS_THRESHOLD else 16
-    wide = build_wide_bvh(node_min, node_max, skip, first, count,
-                          descend=descend, node_inst=node_inst,
+    wl = 64 if Tw <= _HBM_TRIS_THRESHOLD else 16
+    wide = build_wide_bvh(w_min, w_max, w_skip, w_first, w_count,
+                          descend=w_desc, node_inst=w_inst,
                           bridge=bridge_mask, wide_leaf=wl)
+
+    wtris_packed = np.zeros((Tw + 128, 12), np.float32)
+    for g in range(G):
+        rep = group_rep[g]
+        src = tri_off[rep]
+        wtris_packed[g_tri_off[g]:g_tri_off[g] + g_tris[g]] = \
+            tris_packed[src:src + g_tris[g]]
+    wdelta = np.asarray(
+        [tri_off[i] - g_tri_off[group_idx[i]] for i in range(n_inst)],
+        np.int32)
 
     geom = GeometryData(
         vertices=jnp.asarray(vertices),
@@ -239,11 +310,13 @@ def build_instanced(
         wmeta=jnp.asarray(wide.wmeta),
         winst=jnp.asarray(wide.winst),
         worder=jnp.asarray(wide.worder),
-        tris_hbm=(build_tris_hbm(tris_packed)
-                  if tris_packed.shape[0] > _HBM_TRIS_THRESHOLD
-                  else jnp.zeros((1, 128), jnp.float32)),
         wide_leaf=wide.max_leaf,
         wide_depth=wide.max_depth,
+        wtris_packed=jnp.asarray(wtris_packed),
+        wtris_hbm=(build_tris_hbm(wtris_packed)
+                   if wtris_packed.shape[0] > _HBM_TRIS_THRESHOLD
+                   else jnp.zeros((1, 128), jnp.float32)),
+        wdelta=jnp.asarray(wdelta),
     )
 
     mat_table = concat_materials(list(materials))

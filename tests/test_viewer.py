@@ -181,3 +181,72 @@ class TestManipulationAndFlight:
         assert _post(url, "/fly", {"dx": 25, "dy": 0}) == "ok"
         at1 = np.array(s.camera.at)
         assert not np.allclose(at1, at0 + (eye1 - eye0), atol=1e-5)
+
+
+class TestEditorPanels:
+    """Round-4 structured editor panels: scene tree with per-node eye
+    (DataModelWidget.cxx:246-264), material panel over the vbsdf path
+    (MaterialEditor.cxx:639-1099), light list with add/clone/delete
+    (LightSourcesEditor.cxx:47-87)."""
+
+    def test_tree_and_eye_toggle(self, viewer):
+        s, state, url = viewer
+        roots = json.loads(_get(url, "/tree"))
+        names = []
+
+        def walk(n):
+            names.append(n["name"])
+            for c in n["children"]:
+                walk(c)
+        for r in roots:
+            walk(r)
+        assert "s" in names
+        v0 = s.scene._version
+        assert _post(url, "/node", {"name": "s", "op": "hide"}) == "ok"
+        assert s.scene.model.get("s").visible is False
+        assert s.scene._version != v0  # restart fingerprint
+        _post(url, "/node", {"name": "s", "op": "toggle"})
+        assert s.scene.model.get("s").visible is True
+        assert "[error]" in _post(url, "/node", {"name": "nope"})
+
+    def test_material_panel_roundtrip(self, viewer):
+        s, state, url = viewer
+        m = json.loads(_get(url, "/material?name=s"))
+        assert m["preset"] in ("matte", "glossy") and len(m["kd"]) == 3
+        out = _post(url, "/material", {
+            "name": "s", "kd": [0.9, 0.1, 0.2], "baseRoughness": 0.3,
+            "baseFresnel": {"type": "Schlick", "params": [0.1, 0.2, 0.3]},
+        })
+        assert "[error]" not in out
+        m2 = json.loads(_get(url, "/material?name=s"))
+        assert m2["kd"] == pytest.approx([0.9, 0.1, 0.2])
+        assert m2["baseRoughness"] == pytest.approx(0.3)
+        assert m2["baseFresnel"]["type"] == "Schlick"
+        assert m2["baseFresnel"]["params"][:3] == pytest.approx(
+            [0.1, 0.2, 0.3])
+        # preset swap reclassifies
+        _post(url, "/material", {"name": "s", "preset": "glass"})
+        assert json.loads(_get(url, "/material?name=s"))["preset"] == "glass"
+
+    def test_light_panel_add_clone_delete(self, viewer):
+        s, state, url = viewer
+        base = json.loads(_get(url, "/lights"))
+        n0 = len(base)
+        assert any(l["kind"] == "positional" for l in base)
+        _post(url, "/light", {"op": "add", "kind": "directional",
+                              "vec": [0, 0, -1], "intensity": 5,
+                              "smooth": 0.2})
+        ls = json.loads(_get(url, "/lights"))
+        assert len(ls) == n0 + 1 and ls[n0]["kind"] == "directional"
+        assert ls[n0]["intensity"] == pytest.approx(5)
+        _post(url, "/light", {"op": "clone", "idx": n0})
+        ls = json.loads(_get(url, "/lights"))
+        assert len(ls) == n0 + 2
+        assert ls[n0 + 1]["smooth"] == pytest.approx(ls[n0]["smooth"],
+                                                     abs=1e-5)
+        _post(url, "/light", {"op": "change", "idx": 0,
+                              "intensity": 42.0})
+        assert json.loads(_get(url, "/lights"))[0]["intensity"] == \
+            pytest.approx(42.0)
+        _post(url, "/light", {"op": "del", "idx": n0 + 1})
+        assert len(json.loads(_get(url, "/lights"))) == n0 + 1
