@@ -40,9 +40,14 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true",
                     help="small config for smoke testing")
     ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--fixed-wavefront", action="store_true",
+                    help="bench the fixed-depth render_sample path "
+                         "instead of the persistent wavefront")
     args = ap.parse_args()
     if args.quick:
         args.res, args.spp, args.chunks = 128, 2, 1
+    if not args.fixed_wavefront:
+        return main_persistent(args)
 
     import jax
     import jax.numpy as jnp
@@ -148,6 +153,124 @@ def main() -> None:
         "vs_baseline": round(vs, 4),
         "active_rays_per_s": round(active_per_s, 1),
         "active_fraction": round(active_q / rays, 4),
+    }))
+
+
+def main_persistent(args) -> None:
+    """Headline path: the persistent wavefront (sample-staggered lane
+    regeneration, integrator/persistent.py).
+
+    Accounting is UNIFORM-QUOTA and device-counted: every lane (pixel)
+    gets the same `spp` sample quota, the scan runs `T` bounces, and the
+    rate divides samples the device actually COMPLETED by the slope-
+    measured time (N=1 vs N=3 chained repetitions inside one jit, which
+    cancels tunnel/dispatch costs exactly like every previous round).
+    A marginal-window method was rejected: lanes complete samples at
+    rate 1/pathlength, so any window that lets fast (short-path sky)
+    lanes run ahead of slow ones over-weights cheap samples — uniform
+    quotas keep the measured mix the same per-pixel mix every round has
+    used. The ~13% of quota still in flight or unstarted at the scan
+    cutoff is simply NOT counted (conservative).
+
+      issued rate = completed samples/s x depth x 2 (nominal query
+                    count per sample: 1 closest + 1 NEE shadow per
+                    bounce — the same definition as rounds 1-3)
+      active rate = measured live-lane bounces x 2 / time
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cadrays_tpu.diff.optimize import l2_image_loss
+    from cadrays_tpu.integrator.params import RenderParams
+    from cadrays_tpu.integrator.persistent import render_persistent
+    from cadrays_tpu.testing.scenes import cornell_box, cornell_camera
+
+    scene = cornell_box(full=True, sphere_res=24)
+    cam = cornell_camera()
+    data = scene.flatten(cam)
+    params = RenderParams(ray_depth=args.depth)
+
+    W = H = args.res
+    R = (W * H) // args.chunks
+    pids = jnp.arange(R, dtype=jnp.int32)
+    fwd_only = args.fwd_only
+    spp = 4 if args.quick else 32
+    T = spp * 3 if args.quick else spp * 3
+    depth = args.depth
+
+    def make_loop(n):
+        @jax.jit
+        def run():
+            def body(i, carry):
+                cnt_acc, alive_acc, chk = carry
+                pp = params.replace(seed=jnp.uint32(i))
+                if fwd_only:
+                    img, cnt, alive = render_persistent(
+                        data, cam, pp, W, H, spp, T, pixel_ids=pids,
+                        return_stats=True)
+                    return (cnt_acc + jnp.sum(cnt),
+                            alive_acc + jnp.sum(alive),
+                            chk + jnp.sum(img) * 1e-30)
+
+                def loss_fn(s):
+                    img, cnt, alive = render_persistent(
+                        s, cam, pp, W, H, spp, T, pixel_ids=pids,
+                        return_stats=True)
+                    img = img / jnp.maximum(
+                        cnt[:, None].astype(jnp.float32), 1.0)
+                    return (l2_image_loss(img, jnp.zeros_like(img)),
+                            (jnp.sum(cnt), jnp.sum(alive)))
+                (loss, (cnt, alive)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True, allow_int=True)(data)
+                return (cnt_acc + cnt, alive_acc + alive,
+                        chk + loss + jnp.sum(g.materials.kd) * 1e-30)
+            return jax.lax.fori_loop(
+                0, n, body, (jnp.int32(0), jnp.int32(0), jnp.float32(0)))
+        return run
+
+    def timed(n):
+        f = make_loop(n)
+        out = jax.tree.map(float, f())
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = jax.tree.map(float, f())
+            best = min(best, time.perf_counter() - t0)
+        return best, out[0], out[1]
+
+    t1, c1, a1 = timed(1)
+    t3, c3, a3 = timed(3)
+    dt = max(t3 - t1, 1e-9)
+    samples_per_s = (c3 - c1) / dt
+    issued_per_s = samples_per_s * depth * 2
+    active_per_s = (a3 - a1) * 2 / dt
+    completion = c1 / (R * spp)
+    mode = "fwd" if fwd_only else "fwd+bwd"
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+    vs = 1.0
+    if os.path.exists(baseline_path):
+        try:
+            with open(baseline_path) as f:
+                base = json.load(f).get("value", issued_per_s)
+            vs = issued_per_s / max(base, 1e-9)
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": (f"rays/s/chip {mode} {args.res}x{args.res} Cornell "
+                   f"depth={args.depth}"),
+        "value": round(issued_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs, 4),
+        "active_rays_per_s": round(active_per_s, 1),
+        "active_fraction": round(
+            active_per_s / max(issued_per_s, 1e-9), 4),
+        "samples_per_s": round(samples_per_s, 1),
+        "quota_completion": round(completion, 4),
+        "renderer": (f"persistent-wavefront uniform quota spp={spp} "
+                     f"T={T}, device-counted completions"),
     }))
 
 

@@ -41,11 +41,12 @@ class RenderParams:
     # coherence for the TPU kernels; pure reordering, estimator unchanged
     sort_rays: bool = flax.struct.field(pytree_node=False, default=True)
     # re-sort cadence: permute the wavefront on bounces where
-    # bounce % sort_every == 0 (measured on TPU: the permutation itself
-    # costs ~4.9 ms fwd + ~3.5 ms bwd per bounce at 262k lanes, so
-    # skipping alternate bounces trades a little packet coherence for
-    # two gathers — bench/ROOFLINE.md round-4 table)
-    sort_every: int = flax.struct.field(pytree_node=False, default=2)
+    # bounce % sort_every == 0. Measured on TPU (bench/profile_r4b): the
+    # permutation costs ~4.9 ms fwd + ~3.5 ms bwd per bounce at 262k
+    # lanes but skipping it costs MORE in traversal (fwd 113.9 ms
+    # sorted-every vs 127.1 every-other vs 140.4 unsorted), so the
+    # default stays 1; the knob remains for low-depth configs.
+    sort_every: int = flax.struct.field(pytree_node=False, default=1)
 
     # --- traced ----------------------------------------------------------
     radiance_clamp: jnp.ndarray = flax.struct.field(

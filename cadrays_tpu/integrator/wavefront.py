@@ -53,18 +53,15 @@ def _rng_dim(bounce, slot):
     return _DIMS_PER_BOUNCE * bounce + slot + 16  # 0..15 reserved for camera
 
 
-def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
-                  width: int, height: int, sample_id, pixel_ids=None,
-                  return_stats: bool = False):
-    """Trace one sample per pixel; returns (R, 3) linear radiance.
+def build_wavefront(scene: SceneData, camera: Camera,
+                    params: RenderParams, width: int, height: int,
+                    sample_id, pixel_ids):
+    """Initial wavefront state + the (checkpointed) bounce function.
 
-    pixel_ids: optional (R,) int32 subset/permutation of pixels (adaptive
-    tiles / sharding); defaults to all H*W pixels in scanline order.
-    return_stats: also return the per-bounce live-lane counts (depth,)
-    — the honest ray-accounting input for bench.py.
+    The scan driver differs by renderer — render_sample runs exactly
+    `ray_depth` steps; integrator/persistent.py wraps each step with
+    retire/regenerate — but the bounce physics is THIS closure for both.
     """
-    if pixel_ids is None:
-        pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
     R = pixel_ids.shape[0]
     seed = params.seed
     sample_id = jnp.asarray(sample_id, jnp.uint32)
@@ -96,11 +93,19 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
         # row the lane's radiance belongs to.
         pix=pixel_ids,
         lane=jnp.arange(R, dtype=jnp.int32),
+        # per-lane sample id + bounce-within-sample: constant across the
+        # wavefront here, but the persistent renderer
+        # (integrator/persistent.py) staggers them per lane, so all
+        # sample-indexed RNG and depth logic reads these fields.
+        sid=jnp.full((R,), sample_id, jnp.uint32),
+        bdepth=jnp.zeros((R,), jnp.int32),
+        done_sum=jnp.zeros((R, 3), jnp.float32),
+        done_cnt=jnp.zeros((R,), jnp.int32),
     )
 
-    def rng4(pix, bounce, slot):
+    def rng4(pix, sid, bounce, slot):
         pid = pix if not params.coherent else jnp.zeros_like(pix)
-        return crng.sample4(pid, sample_id, _rng_dim(bounce, slot), seed)
+        return crng.sample4(pid, sid, _rng_dim(bounce, slot), seed)
 
     # One (T, C) row per triangle: geometry + its full material. Built
     # once per sample (loop-invariant -> hoisted out of the bounce scan);
@@ -112,6 +117,7 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
 
     def bounce_step(state, bounce):
         o, d = state["origin"], state["direction"]
+        bd0 = state["bdepth"] == 0  # first bounce OF THIS LANE'S SAMPLE
         # Dead lanes trace with t_max=0: the packet kernel treats them as
         # closed, so blocks of dead lanes (sorted to the tail below) exit
         # after one root visit — free compaction under static shapes.
@@ -152,11 +158,11 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
                     state["prev_pdf"],
                     jax.lax.stop_gradient(envops.pdf_env(scene.envmap, d))),
             )
-            scale = jnp.where(bounce == 0, primary_scale, w_mis)
+            scale = jnp.where(bd0, primary_scale, w_mis)
             radiance = radiance + jnp.where(
                 miss[..., None], throughput * env_rad * scale[..., None], 0.0
             )
-        bg = jnp.where((bounce == 0) & miss, 1.0, 0.0)
+        bg = jnp.where(bd0 & miss, 1.0, 0.0)
         if not (has_env and scene.envmap.background):
             radiance = radiance + bg[..., None] * params.background_color
 
@@ -181,7 +187,7 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
                 scene.emissive.total_power * cos_l, 1e-12
             )
             w_emit = jnp.where(
-                state["prev_delta"] | (bounce == 0),
+                state["prev_delta"] | bd0,
                 1.0,
                 smp.power_heuristic(state["prev_pdf"],
                                     jax.lax.stop_gradient(pdf_light_sa)),
@@ -202,7 +208,7 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
         # each strategy's segment stays block-aligned and coherent).
         nee_contribs = []  # (vis_need, contrib, origin, wi, tmax)
         if has_lights:
-            u = rng4(state["pix"], bounce, _DIM_NEE)
+            u = rng4(state["pix"], state["sid"], bounce, _DIM_NEE)
             if scene.lights.count == 1:
                 # static single-light row: a broadcast instead of a per-ray
                 # row gather (TPU gathers bill ~3.1 ms per op at wavefront
@@ -237,7 +243,7 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
                 jnp.where(vis_need, ls["dist"] * (1.0 - 1e-4), 0.0)))
 
         if has_emissive:
-            u = rng4(state["pix"], bounce, _DIM_NEE + 1)
+            u = rng4(state["pix"], state["sid"], bounce, _DIM_NEE + 1)
             em = _sample_emissive(scene, em_tab, h["position"], u)
             f, pdf_b = eval_bsdf(mat, wo, em["wi"], n)
             cos_i = jnp.clip(vm.dot(em["wi"], n), 0.0, 1.0)
@@ -256,7 +262,7 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
                 jnp.where(vis_need, em["dist"] * (1.0 - 1e-3), 0.0)))
 
         if has_env:
-            u = rng4(state["pix"], bounce, _DIM_NEE + 2)
+            u = rng4(state["pix"], state["sid"], bounce, _DIM_NEE + 2)
             wi_e, rad_e, pdf_e = envops.sample_env(scene.envmap, u[0], u[1])
             f, pdf_b = eval_bsdf(mat, wo, wi_e, n)
             cos_i = jnp.clip(vm.dot(wi_e, n), 0.0, 1.0)
@@ -289,7 +295,7 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
             radiance = radiance + throughput * nee
 
         # ---- BSDF sampling ---------------------------------------------
-        u = jnp.stack(rng4(state["pix"], bounce, _DIM_BSDF), axis=-1)
+        u = jnp.stack(rng4(state["pix"], state["sid"], bounce, _DIM_BSDF), axis=-1)
         bs = sample_bsdf(mat, wo, n, u, front=h["front"])
         new_dir = bs["wi"]
         new_origin = offset_ray_origin(h["position"], h["n_geom"], new_dir)
@@ -306,16 +312,21 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
         alive = hit & bs["valid"] & (vm.luminance(throughput_next) > 0.0)
 
         # Russian roulette (unbiased, detached survival probability).
-        ur = rng4(state["pix"], bounce, _DIM_RR)[0]
+        ur = rng4(state["pix"], state["sid"], bounce, _DIM_RR)[0]
         p_sur = jnp.clip(jnp.max(jax.lax.stop_gradient(throughput_next),
                                  axis=-1), 0.05, 0.95)
-        do_rr = bounce >= params.rr_start
+        do_rr = state["bdepth"] >= params.rr_start
         survive = jnp.where(do_rr, ur < p_sur, True)
         throughput_next = jnp.where(
             (do_rr & survive)[..., None],
             throughput_next / p_sur[..., None], throughput_next
         )
         alive = alive & survive
+        # per-lane depth cutoff (RaytracingDepth): the sample ends after
+        # ray_depth bounces. A no-op for render_sample's fixed-length
+        # scan (the last step's alive is unused); the persistent
+        # renderer retires + regenerates on it.
+        alive = alive & (state["bdepth"] + 1 < params.ray_depth)
 
         new_state = dict(
             origin=new_origin,
@@ -328,6 +339,10 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
             sigma=sigma,
             pix=state["pix"],
             lane=state["lane"],
+            sid=state["sid"],
+            bdepth=state["bdepth"] + 1,
+            done_sum=state["done_sum"],
+            done_cnt=state["done_cnt"],
         )
         if params.sort_rays:
             # One wavefront-wide permutation per sorted bounce: live lanes
@@ -375,8 +390,26 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
     bounce_fn = jax.checkpoint(
         bounce_step,
         policy=jax.checkpoint_policies.save_only_these_names("trace"))
+    return state, bounce_fn
+
+
+def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
+                  width: int, height: int, sample_id, pixel_ids=None,
+                  return_stats: bool = False):
+    """Trace one sample per pixel; returns (R, 3) linear radiance.
+
+    pixel_ids: optional (R,) int32 subset/permutation of pixels (adaptive
+    tiles / sharding); defaults to all H*W pixels in scanline order.
+    return_stats: also return the per-bounce live-lane counts (depth,)
+    — the honest ray-accounting input for bench.py.
+    """
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
+    state, bounce_fn = build_wavefront(scene, camera, params, width,
+                                       height, sample_id, pixel_ids)
     state, n_alive = jax.lax.scan(
-        bounce_fn, state, jnp.arange(params.ray_depth), length=params.ray_depth
+        bounce_fn, state, jnp.arange(params.ray_depth),
+        length=params.ray_depth
     )
 
     # Tail: rays still alive after the last bounce pick up the environment
@@ -401,7 +434,7 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
 
 
 def _pack_state(s):
-    """Wavefront state dict -> one (R, 20) f32 matrix (ints/bools encoded
+    """Wavefront state dict -> one (R, 26) f32 matrix (ints/bools encoded
     losslessly) so a lane permutation is a single row gather."""
     bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)[:, None]
     return jnp.concatenate([
@@ -410,6 +443,8 @@ def _pack_state(s):
         s["alive"].astype(jnp.float32)[:, None],
         s["prev_delta"].astype(jnp.float32)[:, None],
         bc(s["pix"]), bc(s["lane"]),
+        bc(s["sid"]), bc(s["bdepth"]),
+        s["done_sum"], bc(s["done_cnt"]),
     ], axis=1)
 
 
@@ -420,6 +455,9 @@ def _unpack_state(m):
         radiance=m[:, 9:12], sigma=m[:, 12:15], prev_pdf=m[:, 15],
         alive=m[:, 16] > 0.5, prev_delta=m[:, 17] > 0.5,
         pix=bi(18), lane=bi(19),
+        sid=jax.lax.bitcast_convert_type(m[:, 20], jnp.uint32),
+        bdepth=bi(21),
+        done_sum=m[:, 22:25], done_cnt=bi(25),
     )
 
 

@@ -1,0 +1,108 @@
+"""Persistent-wavefront renderer (integrator/persistent.py).
+
+Correctness contract vs render_sample: exactly-spp quota per pixel,
+deterministic for a fixed seed, statistically the same estimator (the
+two paths pair RNG dimensions differently, so images agree in
+expectation, not bitwise), differentiable, and the active fraction
+actually improves on the fixed-depth wavefront (the reason it exists).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from cadrays_tpu.testing.scenes import cornell_box, cornell_camera
+
+    scene = cornell_box()
+    cam = cornell_camera()
+    return scene.flatten(cam), cam
+
+
+def test_quota_exact_and_deterministic(setup):
+    from cadrays_tpu.integrator.params import RenderParams
+    from cadrays_tpu.integrator.persistent import render_persistent
+
+    data, cam = setup
+    params = RenderParams(ray_depth=4)
+    W = H = 24
+    spp = 4
+    img1, cnt1 = render_persistent(data, cam, params, W, H, spp,
+                                   n_steps=spp * 4 + 4)
+    img2, cnt2 = render_persistent(data, cam, params, W, H, spp,
+                                   n_steps=spp * 4 + 4)
+    assert np.array_equal(np.asarray(cnt1), np.full(W * H, spp))
+    assert np.array_equal(np.asarray(img1), np.asarray(img2))
+    assert np.isfinite(np.asarray(img1)).all()
+
+
+def test_matches_render_sample_statistically(setup):
+    from cadrays_tpu.integrator.params import RenderParams
+    from cadrays_tpu.integrator.persistent import render_persistent
+    from cadrays_tpu.integrator.wavefront import render_sample
+
+    data, cam = setup
+    params = RenderParams(ray_depth=4)
+    W = H = 16
+    spp = 32
+    img_p, cnt = render_persistent(data, cam, params, W, H, spp,
+                                   n_steps=spp * 4 + 4)
+    img_p = np.asarray(img_p) / np.maximum(np.asarray(cnt)[:, None], 1)
+    acc = np.zeros((W * H, 3), np.float32)
+    for s in range(spp):
+        acc += np.asarray(render_sample(data, cam, params, W, H,
+                                        jnp.uint32(s)))
+    img_r = acc / spp
+    # same estimator, different RNG pairing: agree to Monte Carlo noise
+    assert abs(img_p.mean() - img_r.mean()) < 0.015
+    assert np.abs(img_p.mean(0) - img_r.mean(0)).max() < 0.02
+    # 4x4 pixel-block means agree within a loose noise band
+    bp = img_p.reshape(H // 4, 4, W // 4, 4, 3).mean(axis=(1, 3))
+    br = img_r.reshape(H // 4, 4, W // 4, 4, 3).mean(axis=(1, 3))
+    assert np.abs(bp - br).mean() < 0.04
+
+
+def test_improves_active_fraction(setup):
+    from cadrays_tpu.integrator.params import RenderParams
+    from cadrays_tpu.integrator.persistent import render_persistent
+    from cadrays_tpu.integrator.wavefront import render_sample
+
+    data, cam = setup
+    params = RenderParams(ray_depth=5)
+    W = H = 32
+    # closed-box paths average ~3 bounces at depth 5, so 8 samples need
+    # ~24 busy steps; T=36 leaves tail slack for the unlucky lanes
+    spp, T = 8, 36
+    _, cnt, n_alive_p = render_persistent(data, cam, params, W, H, spp, T,
+                                          return_stats=True)
+    af_p = float(np.sum(np.asarray(n_alive_p))) / (W * H * T)
+    _, n_alive_s = render_sample(data, cam, params, W, H, jnp.uint32(0),
+                                 return_stats=True)
+    af_s = float(np.sum(np.asarray(n_alive_s))) / (W * H * 5)
+    # The quota tail dilutes the headline gain at small spp; the binding
+    # check is just that regeneration strictly beats the fixed wavefront
+    # on the same scene (the steady-state bench regime measures ~1.0
+    # marginal occupancy — bench.py method note).
+    assert af_p > af_s + 0.05, (af_p, af_s)
+    # near-complete quota despite the shortened scan
+    assert np.asarray(cnt).mean() > 0.97 * spp
+
+
+def test_differentiable(setup):
+    from cadrays_tpu.integrator.params import RenderParams
+    from cadrays_tpu.integrator.persistent import render_persistent
+
+    data, cam = setup
+    params = RenderParams(ray_depth=3)
+    W = H = 12
+
+    def loss_fn(s):
+        img, cnt = render_persistent(s, cam, params, W, H, 2, 9)
+        return jnp.sum(img) / (W * H * 2)
+
+    g = jax.grad(loss_fn, allow_int=True)(data)
+    kd = np.asarray(g.materials.kd)
+    assert np.isfinite(kd).all()
+    assert np.abs(kd).max() > 0.0  # radiance responds to albedo
