@@ -92,7 +92,7 @@ def main():
           f"fits_vmem={fits_wide(geom)} fits_hbm={fits_wide_hbm(geom)}",
           flush=True)
     assert T >= 500_000, T
-    assert geom.instanced and fits_wide_hbm(geom)
+    assert geom.instanced and (fits_wide(geom) or fits_wide_hbm(geom))
 
     W = H = 1024
     R = W * H // 4
@@ -130,10 +130,16 @@ def main():
             return lambda: run(geom, o_, d_)
         return make
 
-    results = {"triangles": T, "instances": int(geom.inst_inv.shape[0])}
+    results = {"triangles": T, "instances": int(geom.inst_inv.shape[0]),
+               "wide_unique_tris": int(geom.wtris_packed.shape[0]),
+               "wide_vmem_resident": bool(fits_wide(geom))}
+    # Round 4: shared-BLAS dedup collapses the 100 identical tori to one
+    # 5.3k-tri VMEM-resident wide BLAS (wdelta remaps hit ids), so the
+    # production path is the plain VMEM wide kernel — the HBM-streamed
+    # variant now only serves assemblies of genuinely distinct parts.
     cases = [
-        ("wide_hbm_coh", trace_wide, o_coh, d_coh, {"hbm_tris": True}),
-        ("wide_hbm_srt", trace_wide, o_srt, d_srt, {"hbm_tris": True}),
+        ("wide_coh", trace_wide, o_coh, d_coh, {}),
+        ("wide_srt", trace_wide, o_srt, d_srt, {}),
         ("stream_coh", trace_stream, o_coh, d_coh, {}),
         ("stream_srt", trace_stream, o_srt, d_srt, {}),
     ]
@@ -145,9 +151,44 @@ def main():
               flush=True)
 
     results["speedup_coh"] = round(
-        results["stream_coh"]["ms"] / results["wide_hbm_coh"]["ms"], 2)
+        results["stream_coh"]["ms"] / results["wide_coh"]["ms"], 2)
     results["speedup_srt"] = round(
-        results["stream_srt"]["ms"] / results["wide_hbm_srt"]["ms"], 2)
+        results["stream_srt"]["ms"] / results["wide_srt"]["ms"], 2)
+
+    # ---- end-to-end: full render of the 518k-tri assembly at 1024^2 ----
+    from cadrays_tpu.integrator.params import RenderParams
+    from cadrays_tpu.integrator.persistent import render_persistent
+
+    params = RenderParams(ray_depth=5)
+    W = Hh = 1024
+    Rr = W * Hh // 4
+    pids4 = jnp.arange(Rr, dtype=jnp.int32)
+    spp, Tn = 8, 26
+
+    def e2e(n):
+        @jax.jit
+        def run(g):
+            def body(i, acc):
+                pp = params.replace(seed=jnp.uint32(i))
+                img, cnt = render_persistent(
+                    data.replace(geometry=g), cam, pp, W, Hh, spp, Tn,
+                    pixel_ids=pids4)
+                return acc + jnp.sum(cnt).astype(jnp.float32)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+        return lambda: run(geom)
+
+    dt = slope_time(e2e, iters=(1, 2))
+    # completed-samples count from one pass
+    comp = float(e2e(1)())
+    srate = comp / dt
+    results["e2e_1024_depth5"] = {
+        "ms_per_quarter_frame_8spp": round(dt * 1e3, 1),
+        "samples_per_s": round(srate, 1),
+        "spp_per_s_full_frame": round(srate / (W * Hh), 2),
+    }
+    print(f"e2e 1024^2 d5: {dt*1e3:.1f} ms / {int(comp)} samples "
+          f"-> {srate/(W*Hh):.2f} full-frame spp/s", flush=True)
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "cad_scale.json")
     with open(out, "w") as f:
