@@ -532,9 +532,38 @@ class Console(ModelingMixin):
             import jax
 
             m = jax.tree.map(np.asarray, normalize_energy(m))
-        for n in node.traverse():
-            n.material = m
+        # propagates through the material link group (rtmatlink)
+        self.session.scene.set_material(name, m)
+        return ""
+
+    def cmd_rtmatlink(self, args):
+        """rtmatlink src dst... | rtmatlink -print — share src's material
+        with dst nodes so one edit updates all (the reference's material
+        link button, MaterialEditor.cxx:512-529). `-print` lists groups."""
+        model = self.session.scene.model
+        if args and args[0] == "-print":
+            groups = model.link_groups()
+            return "\n".join(" ".join(g) for g in groups) or "(no links)"
+        if len(args) < 2:
+            raise CommandError("rtmatlink: expected src dst [dst2 ...]")
+        src = args[0]
+        if model.get(src) is None:
+            raise CommandError(f"no displayed object '{src}'")
+        for dst in args[1:]:
+            if model.get(dst) is None:
+                raise CommandError(f"no displayed object '{dst}'")
+            model.link_materials(src, dst)
         self.session.scene.touch()
+        return ""
+
+    def cmd_rtmatunlink(self, args):
+        """rtmatunlink name... — detach from the material link group;
+        the node keeps a private copy (MaterialEditor.cxx:548-563)."""
+        model = self.session.scene.model
+        for name in args:
+            if model.get(name) is None:
+                raise CommandError(f"no displayed object '{name}'")
+            model.unlink_material(name)
         return ""
 
     def cmd_vlocation(self, args):
@@ -833,6 +862,10 @@ class Console(ModelingMixin):
                 i += 1
             elif a == "-iss":
                 p = p.replace(adaptive=True)
+            elif a == "-issd":
+                # debug tile display (SettingsWidget.cxx:443-449)
+                p = p.replace(adaptive_debug=_onoff(args, i))
+                i += 1
             elif a == "-nbtiles":
                 p = p.replace(tile_size=max(8, int(math.sqrt(
                     self.session.width * self.session.height

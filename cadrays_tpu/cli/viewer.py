@@ -754,9 +754,14 @@ def _encode_png(session) -> bytes:
     from cadrays_tpu.core.tonemap import apply_tonemap, linear_to_srgb
     from cadrays_tpu.utils.image import write_png
 
-    hdr = np.asarray(session.progressive.image)
-    ldr = np.asarray(linear_to_srgb(apply_tonemap(hdr,
-                                                  session.params.tonemap)))
+    if session.params.adaptive_debug and session.params.adaptive:
+        from cadrays_tpu.integrator.adaptive import debug_tile_overlay
+        ldr = np.asarray(debug_tile_overlay(
+            session.progressive.weight, session.width, session.height))
+    else:
+        hdr = np.asarray(session.progressive.image)
+        ldr = np.asarray(linear_to_srgb(apply_tonemap(
+            hdr, session.params.tonemap)))
     buf = io.BytesIO()
     write_png(buf, ldr)
     return buf.getvalue()

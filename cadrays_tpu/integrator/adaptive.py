@@ -156,3 +156,17 @@ def debug_tile_map(state: AdaptiveState, width: int, height: int,
     tile view (SettingsWidget.cxx:443-449)."""
     c = state.count.reshape(height, width)
     return c / jnp.maximum(jnp.max(c), 1.0)
+
+
+def debug_tile_overlay(count, width: int, height: int):
+    """Sample-density heatmap image (H, W, 3): blue (cold, few samples)
+    -> red (hot, many) — what the reference's "Show sampling tiles"
+    checkbox renders over the viewport (SettingsWidget.cxx:443-449)."""
+    import jax.numpy as jnp
+
+    c = jnp.asarray(count).reshape(height, width)
+    t = c / jnp.maximum(jnp.max(c), 1.0)
+    r = jnp.clip(2.0 * t - 0.5, 0.0, 1.0)
+    g = 1.0 - jnp.abs(2.0 * t - 1.0)
+    b = jnp.clip(1.0 - 2.0 * t, 0.0, 1.0)
+    return jnp.stack([r, g, b], axis=-1)

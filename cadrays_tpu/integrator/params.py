@@ -32,6 +32,10 @@ class RenderParams:
     two_sided: bool = flax.struct.field(pytree_node=False, default=True)
     coherent: bool = flax.struct.field(pytree_node=False, default=False)
     adaptive: bool = flax.struct.field(pytree_node=False, default=False)
+    # debug tile view: display the adaptive sample-density heatmap
+    # instead of the radiance image (SettingsWidget.cxx:443-449)
+    adaptive_debug: bool = flax.struct.field(pytree_node=False,
+                                             default=False)
     tile_size: int = flax.struct.field(pytree_node=False, default=32)
     rr_start: int = flax.struct.field(pytree_node=False, default=3)
     # RT-mode toggles (SettingsWidget.cxx:575-607)

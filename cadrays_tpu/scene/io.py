@@ -232,6 +232,10 @@ def export_scene(session, directory: str,
             walk(top)
     if not draw_compat:
         lines.extend(group_cmds)
+        # material link groups survive the round-trip
+        # (MaterialEditor.cxx:512-529 shared-aspect semantics)
+        for grp in sc.model.link_groups():
+            lines.append("rtmatlink " + " ".join(grp))
 
     # environment (ImportExport.cxx:501-511)
     if sc.envmap is not None and not draw_compat:

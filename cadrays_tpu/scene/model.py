@@ -201,6 +201,12 @@ class DataModel:
         self.shapes_root = DataNode("Shapes", NodeType.GROUP)
         self.meshes_root = DataNode("Meshes", NodeType.GROUP)
         self._names: Dict[str, DataNode] = {}
+        # material link groups (MaterialEditor.cxx:512-529, 548-563):
+        # nodes in one group share a material — editing any of them
+        # updates all. Stored as name -> group id; unlink leaves the
+        # node with a private copy of the current material.
+        self._mat_links: Dict[str, int] = {}
+        self._next_link_id = 0
 
     # -- names -------------------------------------------------------------
     def unique_name(self, name: str) -> str:
@@ -245,6 +251,7 @@ class DataModel:
             return False
         for sub in list(node.traverse()):
             self._names.pop(sub.name, None)
+            self._mat_links.pop(sub.name, None)
         if node.parent is not None:
             node.parent.children.remove(node)
         return True
@@ -269,6 +276,41 @@ class DataModel:
         for n in nodes:
             grp.add_child(n)
         return grp
+
+    # -- material links ----------------------------------------------------
+    def link_materials(self, src: str, dst: str) -> None:
+        """Join dst into src's material link group; dst adopts src's
+        material immediately (MaterialEditor.cxx:512-529)."""
+        if src not in self._names or dst not in self._names:
+            raise KeyError(src if src not in self._names else dst)
+        gid = self._mat_links.get(src)
+        if gid is None:
+            gid = self._next_link_id
+            self._next_link_id += 1
+            self._mat_links[src] = gid
+        self._mat_links[dst] = gid
+        mat = self._names[src].material
+        for n in self._names[dst].traverse():
+            n.material = mat
+
+    def unlink_material(self, name: str) -> bool:
+        """Detach from its group; the node keeps a private copy of the
+        current material (MaterialEditor.cxx:548-563)."""
+        return self._mat_links.pop(name, None) is not None
+
+    def linked_names(self, name: str) -> List[str]:
+        """All names sharing `name`'s material group (incl. itself)."""
+        gid = self._mat_links.get(name)
+        if gid is None:
+            return [name]
+        return sorted(n for n, g in self._mat_links.items() if g == gid)
+
+    def link_groups(self) -> List[List[str]]:
+        groups: Dict[int, List[str]] = {}
+        for n, g in self._mat_links.items():
+            groups.setdefault(g, []).append(n)
+        return [sorted(v) for _, v in sorted(groups.items())
+                if len(v) > 1]
 
     def leaves(self, visible_only: bool = True) -> List[DataNode]:
         out = []

@@ -80,11 +80,17 @@ class Scene:
         self.touch()
 
     def set_material(self, name: str, mat: Material) -> None:
-        node = self.model.get(name)
-        if node is None:
+        """Set material on `name` and every node in its material link
+        group (one edit updates all linked objects —
+        MaterialEditor.cxx:512-529)."""
+        if self.model.get(name) is None:
             raise KeyError(name)
-        for n in node.traverse():
-            n.material = mat
+        for linked in self.model.linked_names(name):
+            node = self.model.get(linked)
+            if node is None:
+                continue
+            for n in node.traverse():
+                n.material = mat
         self.touch()
 
     def set_transform(self, name: str, transform: np.ndarray) -> None:

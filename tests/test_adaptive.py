@@ -83,3 +83,30 @@ class TestAdaptiveRound:
         err = np.asarray(tile_errors(st, W, H, 8))
         # right tiles (indices 1, 3) must out-rank left tiles (0, 2)
         assert err[1] > err[0] and err[3] > err[2]
+
+
+def test_debug_tile_view_end_to_end():
+    """-issd displays the sample-density heatmap instead of radiance
+    (SettingsWidget.cxx:443-449)."""
+    import numpy as np
+
+    from cadrays_tpu.cli.commands import Console, Session
+    from cadrays_tpu.cli.viewer import _encode_png
+
+    c = Console(Session())
+    c.exec("box b 1 1 1")
+    c.exec("vdisplay b")
+    c.exec("vrtsize 16 16")
+    c.exec("vrenderparams -iss -issd on")
+    c.exec("render 2")
+    assert c.session.params.adaptive_debug
+    debug_png = _encode_png(c.session)
+    c.exec("vrenderparams -issd off")
+    normal_png = _encode_png(c.session)
+    assert debug_png != normal_png
+    # heatmap values are a valid image
+    from cadrays_tpu.integrator.adaptive import debug_tile_overlay
+    ov = np.asarray(debug_tile_overlay(
+        c.session.progressive.weight, 16, 16))
+    assert ov.shape == (16, 16, 3)
+    assert 0.0 <= ov.min() and ov.max() <= 1.0

@@ -382,3 +382,67 @@ class TestImageIO:
         p = str(tmp_path / "t.pfm")
         write_pfm(p, img)
         np.testing.assert_array_equal(read_pfm(p), img)
+
+
+class TestMaterialLinks:
+    """Material link/unlink (round-4): one edit updates all linked
+    nodes, unlink leaves a private copy, links survive scene export —
+    MaterialEditor.cxx:512-529, 548-563."""
+
+    def _console(self):
+        from cadrays_tpu.cli.commands import Console, Session
+
+        c = Console(Session())
+        for n in ("a", "b", "c"):
+            c.exec(f"box {n} 1 1 1")
+            c.exec(f"vdisplay {n}")
+        return c
+
+    def test_link_propagates_edits(self):
+        import numpy as np
+
+        c = self._console()
+        c.exec("rtmatlink a b c")
+        c.exec("vbsdf a -Kd 0.9 0.1 0.2")
+        for n in ("a", "b", "c"):
+            kd = np.asarray(
+                c.session.scene.model.get(n).material.kd).reshape(-1)
+            assert kd == pytest.approx([0.9, 0.1, 0.2]), n
+        # editing a LINKED member propagates too (group semantics)
+        c.exec("vbsdf b -Kd 0.1 0.8 0.1")
+        kd = np.asarray(
+            c.session.scene.model.get("a").material.kd).reshape(-1)
+        assert kd == pytest.approx([0.1, 0.8, 0.1])
+        assert "a b c" in c.exec("rtmatlink -print")
+
+    def test_unlink_keeps_private_copy(self):
+        import numpy as np
+
+        c = self._console()
+        c.exec("rtmatlink a b")
+        c.exec("vbsdf a -Kd 0.9 0.1 0.2")
+        c.exec("rtmatunlink b")
+        c.exec("vbsdf a -Kd 0.0 0.0 1.0")
+        kd_b = np.asarray(
+            c.session.scene.model.get("b").material.kd).reshape(-1)
+        assert kd_b == pytest.approx([0.9, 0.1, 0.2])  # frozen copy
+
+    def test_links_survive_export(self, tmp_path):
+        import os
+
+        from cadrays_tpu.scene.io import export_scene
+
+        c = self._console()
+        c.exec("rtmatlink a b")
+        script = export_scene(c.session, str(tmp_path / "exp"))
+        text = open(script).read()
+        assert "rtmatlink a b" in text
+
+    def test_link_errors(self):
+        from cadrays_tpu.cli.commands import CommandError
+
+        c = self._console()
+        with pytest.raises(CommandError):
+            c.exec("rtmatlink a nosuch")
+        with pytest.raises(CommandError):
+            c.exec("rtmatlink onlyone")
