@@ -866,6 +866,11 @@ class Console(ModelingMixin):
                 # debug tile display (SettingsWidget.cxx:443-449)
                 p = p.replace(adaptive_debug=_onoff(args, i))
                 i += 1
+            elif a == "-persistent":
+                # lane-regenerating progressive accumulation
+                # (integrator/persistent.py, ~1.5x sample throughput)
+                p = p.replace(persistent=_onoff(args, i))
+                i += 1
             elif a == "-nbtiles":
                 p = p.replace(tile_size=max(8, int(math.sqrt(
                     self.session.width * self.session.height

@@ -51,6 +51,12 @@ class RenderParams:
     # sorted-every vs 127.1 every-other vs 140.4 unsorted), so the
     # default stays 1; the knob remains for low-depth configs.
     sort_every: int = flax.struct.field(pytree_node=False, default=1)
+    # progressive accumulation via the persistent wavefront
+    # (integrator/persistent.py): ~1.5x sample throughput from lane
+    # regeneration. Off by default: per-pixel sample counts then vary
+    # slightly per step (the accumulator weights handle it), and golden
+    # images are recorded with the fixed-depth path.
+    persistent: bool = flax.struct.field(pytree_node=False, default=False)
 
     # --- traced ----------------------------------------------------------
     radiance_clamp: jnp.ndarray = flax.struct.field(

@@ -42,12 +42,14 @@ from cadrays_tpu.scene.flatten import SceneData
 def render_persistent(scene: SceneData, camera: Camera,
                       params: RenderParams, width: int, height: int,
                       spp: int, n_steps: int, pixel_ids=None,
-                      return_stats: bool = False):
+                      return_stats: bool = False, sid_base=0):
     """Render `spp` samples per pixel with lane regeneration.
 
     Returns (sum_image (R, 3), done_cnt (R,)) in pixel_ids order —
     callers divide by done_cnt (== spp when n_steps has slack).
     return_stats: also return per-step live-lane counts (n_steps,).
+    sid_base: first sample id (progressive accumulation passes the
+    running spp so repeated calls draw fresh samples).
     """
     if pixel_ids is None:
         pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
@@ -64,8 +66,10 @@ def render_persistent(scene: SceneData, camera: Camera,
         return camera.generate_rays(pxx + jx, pyy + jy, ul0, ul1,
                                     width, height)
 
+    sid_base = jnp.asarray(sid_base, jnp.uint32)
+    sid_limit = sid_base + jnp.uint32(spp)
     state, bounce_fn = build_wavefront(scene, camera, params, width,
-                                       height, 0, pixel_ids)
+                                       height, sid_base, pixel_ids)
 
     def step(carry, t):
         st = carry
@@ -73,7 +77,7 @@ def render_persistent(scene: SceneData, camera: Camera,
 
         # ---- retire + regenerate ---------------------------------------
         died = ~st2["alive"]
-        in_flight = st2["sid"] < jnp.uint32(spp)
+        in_flight = st2["sid"] < sid_limit
         retire = died & in_flight & (st2["done_cnt"] < spp)
         # per-sample radiance clamping at banking time — identical to
         # render_sample's post-scan clamp (SettingsWidget.cxx:318-326)
@@ -86,7 +90,7 @@ def render_persistent(scene: SceneData, camera: Camera,
         done_cnt = st2["done_cnt"] + retire.astype(jnp.int32)
 
         next_sid = st2["sid"] + 1
-        regen = retire & (next_sid < jnp.uint32(spp))
+        regen = retire & (next_sid < sid_limit)
         o_new, d_new = camera_rays(st2["pix"], next_sid)
 
         w = regen[..., None]

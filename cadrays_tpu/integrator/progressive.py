@@ -117,6 +117,24 @@ def progressive_step(
             fingerprint=fp,
         )
 
+    if params.persistent and params.mode == RenderMode.GI:
+        from cadrays_tpu.integrator.persistent import render_persistent
+
+        # lane regeneration: ~1.5x sample throughput; per-pixel counts
+        # land in `weight`, so partially-completed quotas stay unbiased
+        n_steps = samples_per_step * 4 + params.ray_depth
+        sum_img, cnt = render_persistent(
+            scene, camera, params, width, height, samples_per_step,
+            n_steps, sid_base=jnp.uint32(state.spp))
+        return ProgressiveState(
+            accum=state.accum + sum_img.reshape(height, width, 3),
+            weight=state.weight
+            + cnt.astype(jnp.float32).reshape(height, width),
+            accum_sq=state.accum_sq,
+            spp=state.spp + samples_per_step,
+            fingerprint=fp,
+        )
+
     img = render_image(scene, camera, params, width, height,
                        samples_per_step, jnp.uint32(state.spp))
     n = jnp.float32(samples_per_step)

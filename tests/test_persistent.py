@@ -106,3 +106,28 @@ def test_differentiable(setup):
     kd = np.asarray(g.materials.kd)
     assert np.isfinite(kd).all()
     assert np.abs(kd).max() > 0.0  # radiance responds to albedo
+
+
+def test_progressive_persistent_mode(setup):
+    """params.persistent routes progressive accumulation through the
+    regenerating wavefront; repeated steps draw FRESH sample ids and the
+    per-pixel weights carry actual counts."""
+    import numpy as np
+
+    from cadrays_tpu.integrator.params import RenderParams
+    from cadrays_tpu.integrator.progressive import progressive_step
+
+    data, cam = setup
+    W = H = 16
+    pp = RenderParams(ray_depth=4, persistent=True)
+    st = progressive_step(data, cam, pp, W, H, None, samples_per_step=4)
+    st = progressive_step(data, cam, pp, W, H, st, samples_per_step=4)
+    w = np.asarray(st.weight)
+    assert w.min() >= 6 and w.max() <= 8  # ~8 samples accumulated
+    img_p = np.asarray(st.image)
+    assert np.isfinite(img_p).all()
+
+    base = progressive_step(data, cam, RenderParams(ray_depth=4),
+                            W, H, None, samples_per_step=8)
+    # statistically the same estimator
+    assert abs(img_p.mean() - np.asarray(base.image).mean()) < 0.03
