@@ -270,7 +270,7 @@ window.addEventListener('mouseup', async e => {
   if (wasDrag) return;
   const [x, y] = imgXY(e);
   const r = await fetch('/pick', {method:'POST',
-                                  body: JSON.stringify({x: x, y: y})});
+    body: JSON.stringify({x: x, y: y, prev: selected})});
   const t = await r.text();
   logLine('pick ' + Math.round(x) + ' ' + Math.round(y), t);
   const m = t.match(/^hit (\\S+)/);
@@ -674,11 +674,36 @@ def _make_handler(state: ViewerState, console):
                 except Exception as e:
                     self._send(200, "text/plain", f"[error] {e}".encode())
             elif self.path.startswith("/pick"):
+                # Selection promotion (AppViewer.cxx:283-460): a click
+                # selects the TOPMOST ancestor group of the picked leaf;
+                # clicking again while that group is selected drills one
+                # level down toward the leaf (common-ancestor logic).
                 try:
                     req = json.loads(self._body())
                     with state.lock:
                         out = console.exec(
                             f"vpick {float(req['x'])} {float(req['y'])}")
+                    if out.startswith("hit "):
+                        leaf = out.split()[1]
+                        prev = req.get("prev")
+                        chain = []
+                        node = s.scene.model.get(leaf)
+                        while node is not None and node.parent is not None \
+                                and node.parent.parent is not None:
+                            chain.append(node.name)
+                            node = node.parent
+                        if node is not None and node.parent is not None:
+                            chain.append(node.name)
+                        # chain = [leaf ... topmost]; pick the next level
+                        # below the currently selected ancestor, else top
+                        sel = chain[-1] if chain else leaf
+                        if prev in chain:
+                            i = chain.index(prev)
+                            if i > 0:
+                                sel = chain[i - 1]
+                        out = out.replace(f"hit {leaf}",
+                                          f"hit {sel}", 1) \
+                            + f" leaf={leaf}"
                     self._send(200, "text/plain", out.encode())
                 except Exception as e:
                     self._send(200, "text/plain", f"[error] {e}".encode())

@@ -250,3 +250,20 @@ class TestEditorPanels:
             pytest.approx(42.0)
         _post(url, "/light", {"op": "del", "idx": n0 + 1})
         assert len(json.loads(_get(url, "/lights"))) == n0 + 1
+
+
+class TestPickPromotion:
+    """Common-ancestor selection (AppViewer.cxx:283-460): picking a
+    grouped leaf selects its topmost group; repeating the pick drills
+    one level toward the leaf."""
+
+    def test_group_promotion_and_drilldown(self, viewer):
+        s, state, url = viewer
+        # group the sphere under a parent (sibling group of one)
+        assert s.scene.model.group(["s"], "grp") is not None
+        out = _post(url, "/pick", {"x": 16, "y": 16})
+        assert out.startswith("hit grp "), out
+        assert "leaf=s" in out
+        # picking again with the group selected drills to the leaf
+        out2 = _post(url, "/pick", {"x": 16, "y": 16, "prev": "grp"})
+        assert out2.startswith("hit s "), out2
