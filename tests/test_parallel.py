@@ -85,22 +85,21 @@ class TestScalingHarness:
             assert padded - total < 8
 
     def test_throughput_efficiency_measured(self, setup):
-        """Sharding-overhead floor: the SAME total work (32x32 pixels,
-        2 spp) on an 8-virtual-device mesh vs a 1-device mesh.
+        """Sharding-overhead floor: the SAME total work (64x64 pixels,
+        4 spp) on an 8-virtual-device mesh vs a 1-device mesh, through
+        the JITTED production path (render_sharded_jit).
 
-        Method note (BASELINE.md >=85% scaling target): on one physical
-        host the 8 "devices" are XLA host threads sharing 2 cores, so
-        ideal is t8 == t1 (total compute unchanged, cores saturated
-        either way); the ratio isolates per-shard overhead — GSPMD
-        partition/gather steps, 8x dispatch, and the final unsharded
-        reshape — with zero ICI flattering. Both sides take best-of-3 so
-        a scheduler hiccup doesn't fail the floor; the recorded number
-        is a lower bound on real-chip scaling efficiency (real chips
-        don't share cores). Floor 0.70 hard (was 0.25) — idle-box
-        snapshots measure 0.91-0.94 since the round-3 padding fix, but
-        a concurrent job on the 2-core CI box steals whole cores and
-        has measured 0.77, so the floor leaves that headroom while
-        still catching structural per-shard overhead regressions."""
+        Method note (BASELINE.md >=85% scaling target): round-4 found
+        the earlier eager-path measurement was ~99% retracing overhead
+        (7 s/call eager vs 10 ms jitted), so its 0.77-0.94 "efficiency"
+        tracked Python tracing, not compute. Under jit on one physical
+        host the 8 "devices" are XLA threads sharing 2 cores; t8 == t1
+        is the conservative ideal (same total compute; in practice t8
+        can BEAT t1 because the single-device run only saturates one
+        core), so eff = t1/t8 >= 0.85 bounds per-shard GSPMD overhead —
+        partition/collective insertion, 8x dispatch, the unsharded
+        final reshape — from above. Idle-box snapshots measure
+        1.0-1.5; best-of-5 guards scheduler hiccups."""
         import json
         import os
         import time
@@ -110,13 +109,14 @@ class TestScalingHarness:
         mesh8 = make_mesh(8)
         mesh1 = make_mesh(1)
         reps = scene_replicated(data, mesh8)
+        from cadrays_tpu.parallel.sharding import render_sharded_jit
 
         def timed(mesh, scene):
-            f = lambda: jax.block_until_ready(render_tiled_sharded(
-                scene, cam, params, 32, 32, 2, mesh))
+            f = lambda: jax.block_until_ready(render_sharded_jit(
+                scene, cam, params, 64, 64, 4, mesh))
             f()  # compile
             best = float("inf")
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 f()
                 best = min(best, time.perf_counter() - t0)
@@ -126,10 +126,11 @@ class TestScalingHarness:
         t8 = timed(mesh8, reps)
         eff = t1 / t8
         out = {"virtual_efficiency": eff, "t1": t1, "t8": t8,
-               "method": "same total work, 8 virtual cpu devices vs 1; "
-                         "best-of-3; ideal t8==t1 on shared cores"}
+               "method": "same total work (64x64x4spp), jitted path, 8 "
+                         "virtual cpu devices vs 1; best-of-5; ideal "
+                         "t8<=t1 on shared cores"}
         path = os.path.join(os.path.dirname(__file__), "..", "bench",
                             "scaling_cpu_mesh.json")
         with open(path, "w") as f:
             json.dump(out, f)
-        assert eff > 0.70, f"sharding overhead above floor: {out}"
+        assert eff > 0.85, f"sharding overhead above floor: {out}"

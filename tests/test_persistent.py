@@ -50,10 +50,16 @@ def test_matches_render_sample_statistically(setup):
     img_p, cnt = render_persistent(data, cam, params, W, H, spp,
                                    n_steps=spp * 4 + 4)
     img_p = np.asarray(img_p) / np.maximum(np.asarray(cnt)[:, None], 1)
+
+    # one jit with the sample id as an ARGUMENT — an eager loop would
+    # bake each concrete id into a fresh executable (32 compiles)
+    @jax.jit
+    def one(s):
+        return render_sample(data, cam, params, W, H, s)
+
     acc = np.zeros((W * H, 3), np.float32)
     for s in range(spp):
-        acc += np.asarray(render_sample(data, cam, params, W, H,
-                                        jnp.uint32(s)))
+        acc += np.asarray(one(jnp.uint32(s)))
     img_r = acc / spp
     # same estimator, different RNG pairing: agree to Monte Carlo noise
     assert abs(img_p.mean() - img_r.mean()) < 0.015
