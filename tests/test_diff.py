@@ -206,3 +206,42 @@ class TestInverseRendering:
         l1 = float(l2_image_loss(
             render_image(res.scene, cam, params, RES, RES, 8), target))
         assert l1 < l0 * 0.3, (l0, l1)
+
+
+class TestPersistentGradients:
+    """Finite-difference validation of the persistent wavefront
+    (BASELINE metric applies to both renderers): same detached-sampling
+    construction, so a kd scale must differentiate exactly like the
+    fixed-depth path."""
+
+    def test_kd_grad_matches_fd(self):
+        from cadrays_tpu.integrator.persistent import render_persistent
+
+        data, cam = _simple_scene()
+        params = RenderParams(ray_depth=3)
+        rs = np.random.RandomState(7)
+        w = jnp.asarray(rs.rand(RES * RES, 3), jnp.float32)
+
+        def f(theta):
+            d = data.replace(materials=data.materials.replace(
+                kd=data.materials.kd * theta))
+            img, cnt = render_persistent(d, cam, params, RES, RES, 2, 9)
+            return jnp.sum(img * w)
+
+        _check_grad(f, 0.7, 5e-3)
+
+    def test_light_intensity_grad_matches_fd(self):
+        from cadrays_tpu.integrator.persistent import render_persistent
+
+        data, cam = _simple_scene()
+        params = RenderParams(ray_depth=3)
+        rs = np.random.RandomState(11)
+        w = jnp.asarray(rs.rand(RES * RES, 3), jnp.float32)
+
+        def f(theta):
+            d = data.replace(lights=data.lights.replace(
+                intensity=data.lights.intensity * theta))
+            img, cnt = render_persistent(d, cam, params, RES, RES, 2, 9)
+            return jnp.sum(img * w)
+
+        _check_grad(f, 0.9, 5e-3)
