@@ -36,6 +36,10 @@ Serves:
                    command path's validation + restart fingerprint)
   GET  /lights     JSON light list (LightSourcesEditor panel data)
   POST /light      JSON {op: add|del|clone|change, ...} over vlight
+  GET  /settings   JSON render settings (SettingsWidget panel data)
+  POST /settings   JSON {mode|ray_depth|clamp|width|height|fovy|
+                   two_sided|coherent|adaptive|adaptive_debug|
+                   persistent} -> vrenderparams/vrtsize/vcamera lines
   GET  /scripts    JSON list of *.crt/*.tcl script names in the session
                    script dir (ScriptEditor.cxx:48-64)
   GET  /script?name=N  script source
@@ -100,6 +104,8 @@ button { background:#333; color:#eee; border:1px solid #555; padding:4px }
      <option>gold</option><option>copper</option><option>chrome</option>
    </select></p>
 <div id="mat"></div></details>
+<details><summary>render settings</summary><div id="settings"></div>
+</details>
 <details><summary>lights</summary>
 <p><button onclick="addLight('positional')">+ positional</button>
    <button onclick="addLight('directional')">+ directional</button></p>
@@ -213,6 +219,37 @@ async function applyPreset(){
     body: JSON.stringify({name: selected, preset: p})});
   refreshMat();
 }
+async function refreshSettings(){
+  const st = await (await fetch('/settings')).json();
+  document.getElementById('settings').innerHTML =
+    `mode <select id="rs_mode">` +
+    ['gi','rt','raster'].map(m =>
+      `<option ${m === st.mode ? 'selected' : ''}>${m}</option>`
+    ).join('') + '</select>' +
+    ` depth <input id="rs_depth" style="width:3em" value="${st.ray_depth}"/>` +
+    ` clamp <input id="rs_clamp" style="width:4em" value="${st.clamp}"/>` +
+    ` res <input id="rs_w" style="width:4em" value="${st.width}"/>x` +
+    `<input id="rs_h" style="width:4em" value="${st.height}"/>` +
+    ` fov <input id="rs_fov" style="width:3em" value="${st.fovy}"/>` +
+    ` <label><input type="checkbox" id="rs_two" ${st.two_sided ? 'checked' : ''}/>2-sided</label>` +
+    ` <label><input type="checkbox" id="rs_issd" ${st.adaptive_debug ? 'checked' : ''}/>tiles</label>` +
+    ' <button onclick="applySettings()">apply</button>';
+}
+async function applySettings(){
+  const req = {
+    mode: document.getElementById('rs_mode').value,
+    ray_depth: parseInt(document.getElementById('rs_depth').value),
+    clamp: parseFloat(document.getElementById('rs_clamp').value),
+    width: parseInt(document.getElementById('rs_w').value),
+    height: parseInt(document.getElementById('rs_h').value),
+    fovy: parseFloat(document.getElementById('rs_fov').value),
+    two_sided: document.getElementById('rs_two').checked,
+    adaptive_debug: document.getElementById('rs_issd').checked,
+  };
+  logLine('settings', await (await fetch('/settings',
+    {method:'POST', body: JSON.stringify(req)})).text());
+  refreshSettings();
+}
 async function refreshLights(){
   const ls = await (await fetch('/lights')).json();
   document.getElementById('lights').innerHTML = ls.map((l, i) =>
@@ -232,7 +269,7 @@ async function addLight(kind){
     body: JSON.stringify({op: 'add', kind: kind, intensity: 10})});
   refreshLights();
 }
-refreshTree(); refreshLights();
+refreshTree(); refreshLights(); refreshSettings();
 const img = document.getElementById('view');
 let drag = null, moved = false, selected = null;
 const keys = new Set();
@@ -594,6 +631,20 @@ def _make_handler(state: ViewerState, console):
             elif self.path.startswith("/lights"):
                 self._send(200, "application/json",
                            json.dumps(_lights_json()).encode())
+            elif self.path.startswith("/settings"):
+                s = state.session
+                p = s.params
+                self._send(200, "application/json", json.dumps({
+                    "width": s.width, "height": s.height,
+                    "mode": p.mode, "ray_depth": p.ray_depth,
+                    "clamp": float(np.asarray(p.radiance_clamp)),
+                    "two_sided": bool(p.two_sided),
+                    "coherent": bool(p.coherent),
+                    "adaptive": bool(p.adaptive),
+                    "adaptive_debug": bool(p.adaptive_debug),
+                    "persistent": bool(p.persistent),
+                    "fovy": float(s.camera.fovy_deg),
+                }).encode())
             elif self.path.startswith("/scripts"):
                 names = sorted(f for f in os.listdir(script_dir())
                                if f.endswith((".crt", ".tcl")))
@@ -739,6 +790,44 @@ def _make_handler(state: ViewerState, console):
                     with state.lock:
                         out = _light_edit(req)
                     self._send(200, "text/plain", (out or "ok").encode())
+                except Exception as e:
+                    self._send(200, "text/plain", f"[error] {e}".encode())
+            elif self.path.startswith("/settings"):
+                # render-settings panel -> vrenderparams/vrtsize/vcamera
+                # command lines (SettingsWidget.cxx parity via the same
+                # validated path as typed commands)
+                try:
+                    req = json.loads(self._body())
+                    cmds = []
+                    if "width" in req or "height" in req:
+                        w = int(req.get("width", s.width))
+                        h = int(req.get("height", s.height))
+                        cmds.append(f"vrtsize {w} {h}")
+                    if "mode" in req:
+                        flag = {"gi": "-gi", "rt": "-ray",
+                                "raster": "-rast"}[req["mode"]]
+                        cmds.append(f"vrenderparams {flag}")
+                    if "ray_depth" in req:
+                        cmds.append(
+                            f"vrenderparams -rayDepth {int(req['ray_depth'])}")
+                    if "clamp" in req:
+                        cmds.append(
+                            f"vrenderparams -clamping {float(req['clamp']):g}")
+                    for key, flag in (("two_sided", "-twoside"),
+                                      ("coherent", "-coherent"),
+                                      ("adaptive_debug", "-issd"),
+                                      ("persistent", "-persistent")):
+                        if key in req:
+                            cmds.append(f"vrenderparams {flag} "
+                                        f"{1 if req[key] else 0}")
+                    if req.get("adaptive"):
+                        cmds.append("vrenderparams -iss")
+                    if "fovy" in req:
+                        cmds.append(f"vcamera -fovy {float(req['fovy']):g}")
+                    with state.lock:
+                        for c in cmds:
+                            console.exec(c)
+                    self._send(200, "text/plain", b"ok")
                 except Exception as e:
                     self._send(200, "text/plain", f"[error] {e}".encode())
             elif self.path.startswith("/pause"):

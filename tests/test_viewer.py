@@ -267,3 +267,26 @@ class TestPickPromotion:
         # picking again with the group selected drills to the leaf
         out2 = _post(url, "/pick", {"x": 16, "y": 16, "prev": "grp"})
         assert out2.startswith("hit s "), out2
+
+
+class TestSettingsPanel:
+    """Render-settings panel (SettingsWidget.cxx parity): read-back +
+    edits through the validated vrenderparams/vrtsize/vcamera path."""
+
+    def test_settings_roundtrip(self, viewer):
+        s, state, url = viewer
+        st = json.loads(_get(url, "/settings"))
+        assert st["mode"] == "gi" and st["width"] == 32
+        out = _post(url, "/settings", {"ray_depth": 7, "clamp": 12.5,
+                                       "width": 48, "height": 40,
+                                       "two_sided": False, "fovy": 55})
+        assert "[error]" not in out
+        st2 = json.loads(_get(url, "/settings"))
+        assert st2["ray_depth"] == 7
+        assert st2["clamp"] == pytest.approx(12.5)
+        assert (st2["width"], st2["height"]) == (48, 40)
+        assert st2["two_sided"] is False
+        assert st2["fovy"] == pytest.approx(55)
+        # mode switch
+        _post(url, "/settings", {"mode": "rt"})
+        assert json.loads(_get(url, "/settings"))["mode"] == "rt"
