@@ -10,6 +10,12 @@ background). Deterministic counter-based RNG keeps the gate tight.
 
 Update with:  CADRAYS_GOLDEN_UPDATE=1 python -m pytest
               tests/test_golden_hires.py -q
+
+Cross-backend check (round 4, run manually on the chip): rendering
+these scenes on the TPU wide-BVH kernel against the CPU-recorded
+goldens measured 0.000% bad pixels (instanced + envmap) and 0.137%
+(cornell, glass-caustic f32 ordering) — the Mosaic kernel, shared-BLAS
+wdelta remap and t-cull reproduce the reference walk per pixel.
 """
 import os
 
