@@ -174,3 +174,49 @@ def test_wide_kernel_dual_pop_matches():
     np.testing.assert_array_equal(np.asarray(a["tri"]), np.asarray(b["tri"]))
     np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]),
                                rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_hbm_streamed_pipeline_matches_stream_backend():
+    """The 2-slot deferred-leaf DMA pipeline (round 4): triangles stream
+    from the padded HBM table while the previous leaf is processed.
+    Interpret-mode hits must match the packet stream walk exactly —
+    covers the DMA start/wait pairing, the double-buffered window, the
+    pending-leaf t-cull recheck and the drain after the stack empties
+    (non-instanced scenes above the VMEM budget still use this path;
+    instanced assemblies usually dedup into VMEM instead)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import cadrays_tpu.scene.flatten as fl
+    from cadrays_tpu.ops.pallas_wide import trace_wide
+    from cadrays_tpu.ops.traverse import trace_stream
+    from cadrays_tpu.testing.scenes import cornell_box, cornell_camera
+
+    scene = cornell_box(full=True, sphere_res=8)
+    cam = cornell_camera()
+    data = scene.flatten(cam)
+    geom = data.geometry
+    # force the HBM table for this (small) scene so interpret mode can
+    # execute the streaming kernel in CI
+    geom = geom.replace(
+        tris_hbm=fl.build_tris_hbm(np.asarray(geom.tris_packed)))
+
+    R = 384
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    o = jax.random.uniform(k1, (R, 3))
+    d = jax.random.normal(k2, (R, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tm = jnp.full((R,), 1e30)
+
+    a = trace_wide(geom, o, d, tm, interpret=True, hbm_tris=True)
+    b = trace_stream(geom, o, d, tm)
+    assert np.array_equal(np.asarray(a["tri"]), np.asarray(b["tri"]))
+    np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]),
+                               rtol=1e-4, atol=1e-4)
+    ah = trace_wide(geom, o, d, tm, interpret=True, any_hit=True,
+                    hbm_tris=True)
+    bh = trace_stream(geom, o, d, tm, any_hit=True)
+    assert np.array_equal(np.asarray(ah["tri"]) >= 0,
+                          np.asarray(bh["tri"]) >= 0)
