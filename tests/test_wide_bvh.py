@@ -199,11 +199,24 @@ def test_hbm_streamed_pipeline_matches_stream_backend():
     data = scene.flatten(cam)
     geom = data.geometry
     # force the HBM table for this (small) scene so interpret mode can
-    # execute the streaming kernel in CI
-    geom = geom.replace(
-        tris_hbm=fl.build_tris_hbm(np.asarray(geom.tris_packed)))
+    # execute the streaming kernel in CI, and rebuild the wide tree at
+    # leaf 16: the fully-unrolled 64-triangle leaf body compiles a graph
+    # big enough to crash the CPU XLA compiler under full-suite memory
+    # pressure (production HBM scenes build at leaf 16 anyway)
+    from cadrays_tpu.geometry.wide_bvh import build_wide_bvh
 
-    R = 384
+    wide = build_wide_bvh(np.asarray(geom.bvh_min),
+                          np.asarray(geom.bvh_max),
+                          np.asarray(geom.bvh_skip),
+                          np.asarray(geom.bvh_first),
+                          np.asarray(geom.bvh_count), wide_leaf=16)
+    geom = geom.replace(
+        tris_hbm=fl.build_tris_hbm(np.asarray(geom.tris_packed)),
+        wboxes=jnp.asarray(wide.wboxes), wmeta=jnp.asarray(wide.wmeta),
+        winst=jnp.asarray(wide.winst), worder=jnp.asarray(wide.worder),
+        wide_leaf=wide.max_leaf, wide_depth=wide.max_depth)
+
+    R = 256
     k1, k2 = jax.random.split(jax.random.PRNGKey(1))
     o = jax.random.uniform(k1, (R, 3))
     d = jax.random.normal(k2, (R, 3))
