@@ -182,54 +182,21 @@ def test_hbm_streamed_pipeline_matches_stream_backend():
     from the padded HBM table while the previous leaf is processed.
     Interpret-mode hits must match the packet stream walk exactly —
     covers the DMA start/wait pairing, the double-buffered window, the
-    pending-leaf t-cull recheck and the drain after the stack empties
-    (non-instanced scenes above the VMEM budget still use this path;
-    instanced assemblies usually dedup into VMEM instead)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    pending-leaf t-cull recheck and the drain after the stack empties.
 
-    import cadrays_tpu.scene.flatten as fl
-    from cadrays_tpu.ops.pallas_wide import trace_wide
-    from cadrays_tpu.ops.traverse import trace_stream
-    from cadrays_tpu.testing.scenes import cornell_box, cornell_camera
+    Runs in a SUBPROCESS: the interpret-mode lowering of the DMA kernel
+    reliably segfaults the CPU XLA compiler when it runs after ~270
+    other tests' compiles in one process (cumulative compiler memory),
+    while passing standalone every time — a fresh process isolates it."""
+    import os
+    import subprocess
+    import sys
 
-    scene = cornell_box(full=True, sphere_res=8)
-    cam = cornell_camera()
-    data = scene.flatten(cam)
-    geom = data.geometry
-    # force the HBM table for this (small) scene so interpret mode can
-    # execute the streaming kernel in CI, and rebuild the wide tree at
-    # leaf 16: the fully-unrolled 64-triangle leaf body compiles a graph
-    # big enough to crash the CPU XLA compiler under full-suite memory
-    # pressure (production HBM scenes build at leaf 16 anyway)
-    from cadrays_tpu.geometry.wide_bvh import build_wide_bvh
-
-    wide = build_wide_bvh(np.asarray(geom.bvh_min),
-                          np.asarray(geom.bvh_max),
-                          np.asarray(geom.bvh_skip),
-                          np.asarray(geom.bvh_first),
-                          np.asarray(geom.bvh_count), wide_leaf=16)
-    geom = geom.replace(
-        tris_hbm=fl.build_tris_hbm(np.asarray(geom.tris_packed)),
-        wboxes=jnp.asarray(wide.wboxes), wmeta=jnp.asarray(wide.wmeta),
-        winst=jnp.asarray(wide.winst), worder=jnp.asarray(wide.worder),
-        wide_leaf=wide.max_leaf, wide_depth=wide.max_depth)
-
-    R = 256
-    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
-    o = jax.random.uniform(k1, (R, 3))
-    d = jax.random.normal(k2, (R, 3))
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    tm = jnp.full((R,), 1e30)
-
-    a = trace_wide(geom, o, d, tm, interpret=True, hbm_tris=True)
-    b = trace_stream(geom, o, d, tm)
-    assert np.array_equal(np.asarray(a["tri"]), np.asarray(b["tri"]))
-    np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]),
-                               rtol=1e-4, atol=1e-4)
-    ah = trace_wide(geom, o, d, tm, interpret=True, any_hit=True,
-                    hbm_tris=True)
-    bh = trace_stream(geom, o, d, tm, any_hit=True)
-    assert np.array_equal(np.asarray(ah["tri"]) >= 0,
-                          np.asarray(bh["tri"]) >= 0)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "_hbm_pipeline_check.py")],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "HBM PIPELINE OK" in r.stdout, r.stdout + r.stderr
