@@ -622,29 +622,36 @@ def _make_handler(state: ViewerState, console):
             elif self.path.startswith("/material?"):
                 q = urllib.parse.parse_qs(
                     urllib.parse.urlparse(self.path).query)
-                node = state.session.scene.model.get(q["name"][0])
-                if node is None:
+                # lock: POST handlers + render loop mutate these
+                # structures; an unlocked read can tear mid-edit
+                with state.lock:
+                    node = state.session.scene.model.get(q["name"][0])
+                    body = None if node is None \
+                        else json.dumps(_mat_json(node)).encode()
+                if body is None:
                     self._send(404, "text/plain", b"no such node")
                 else:
-                    self._send(200, "application/json",
-                               json.dumps(_mat_json(node)).encode())
+                    self._send(200, "application/json", body)
             elif self.path.startswith("/lights"):
-                self._send(200, "application/json",
-                           json.dumps(_lights_json()).encode())
+                with state.lock:
+                    body = json.dumps(_lights_json()).encode()
+                self._send(200, "application/json", body)
             elif self.path.startswith("/settings"):
                 s = state.session
-                p = s.params
-                self._send(200, "application/json", json.dumps({
-                    "width": s.width, "height": s.height,
-                    "mode": p.mode, "ray_depth": p.ray_depth,
-                    "clamp": float(np.asarray(p.radiance_clamp)),
-                    "two_sided": bool(p.two_sided),
-                    "coherent": bool(p.coherent),
-                    "adaptive": bool(p.adaptive),
-                    "adaptive_debug": bool(p.adaptive_debug),
-                    "persistent": bool(p.persistent),
-                    "fovy": float(s.camera.fovy_deg),
-                }).encode())
+                with state.lock:
+                    p = s.params
+                    body = json.dumps({
+                        "width": s.width, "height": s.height,
+                        "mode": p.mode, "ray_depth": p.ray_depth,
+                        "clamp": float(np.asarray(p.radiance_clamp)),
+                        "two_sided": bool(p.two_sided),
+                        "coherent": bool(p.coherent),
+                        "adaptive": bool(p.adaptive),
+                        "adaptive_debug": bool(p.adaptive_debug),
+                        "persistent": bool(p.persistent),
+                        "fovy": float(s.camera.fovy_deg),
+                    }).encode()
+                self._send(200, "application/json", body)
             elif self.path.startswith("/scripts"):
                 names = sorted(f for f in os.listdir(script_dir())
                                if f.endswith((".crt", ".tcl")))

@@ -157,7 +157,11 @@ def _parse_binary(data: bytes) -> FbxNode:
                 pos += n
             elif tc == b"R":
                 n = struct.unpack_from("<I", data, pos)[0]
-                pos += 4 + n
+                pos += 4
+                # keep positional indexing stable for later props in the
+                # record (Properties70 'P' payloads embed raw blobs)
+                out.append(data[pos:pos + n])
+                pos += n
             else:
                 raise ValueError(f"fbx: unknown property type {tc!r}")
         return pos

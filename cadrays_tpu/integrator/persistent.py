@@ -42,7 +42,8 @@ from cadrays_tpu.scene.flatten import SceneData
 def render_persistent(scene: SceneData, camera: Camera,
                       params: RenderParams, width: int, height: int,
                       spp: int, n_steps: int, pixel_ids=None,
-                      return_stats: bool = False, sid_base=0):
+                      return_stats: bool = False, sid_base=0,
+                      sid0=None, done0=None):
     """Render `spp` samples per pixel with lane regeneration.
 
     Returns (sum_image (R, 3), done_cnt (R,)) in pixel_ids order —
@@ -50,6 +51,20 @@ def render_persistent(scene: SceneData, camera: Camera,
     return_stats: also return per-step live-lane counts (n_steps,).
     sid_base: first sample id (progressive accumulation passes the
     running spp so repeated calls draw fresh samples).
+
+    Truncation note: when n_steps runs out, samples still in flight are
+    DROPPED and done_cnt reports the completed count. Because a sample's
+    inclusion correlates (negatively) with its own path length, the mean
+    over completed samples is slightly selection-biased toward
+    short-path radiance whenever done_cnt < spp. Callers that need the
+    exact spp-sample estimator must TOP-UP: pass per-lane `sid0`
+    (uint32, first sample id still owed — sid_base + previous done_cnt)
+    and `done0` (int32, samples already completed) and the lane restarts
+    the dropped sample from scratch — unbiased, since partial radiance
+    is never banked. A top-up of `m` missing samples completes with a
+    hard guarantee in n_steps = m * ray_depth (every sample retires
+    within ray_depth bounce steps). integrator/progressive.py does this
+    automatically.
     """
     if pixel_ids is None:
         pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
@@ -70,6 +85,23 @@ def render_persistent(scene: SceneData, camera: Camera,
     sid_limit = sid_base + jnp.uint32(spp)
     state, bounce_fn = build_wavefront(scene, camera, params, width,
                                        height, sid_base, pixel_ids)
+    if sid0 is not None:
+        # Top-up entry: lanes resume at per-lane sample ids. Lanes whose
+        # quota is already met start dead (t_max=0 → sorted to the tail).
+        sid0 = jnp.asarray(sid0, jnp.uint32)
+        done0 = jnp.zeros((R,), jnp.int32) if done0 is None \
+            else jnp.asarray(done0, jnp.int32)
+        resumed = sid0 != sid_base
+        o0, d0 = camera_rays(state["pix"], sid0)
+        w = resumed[..., None]
+        state = dict(
+            state,
+            origin=jnp.where(w, o0, state["origin"]),
+            direction=jnp.where(w, d0, state["direction"]),
+            alive=sid0 < sid_limit,
+            sid=sid0,
+            done_cnt=done0,
+        )
 
     def step(carry, t):
         st = carry
@@ -122,6 +154,9 @@ def render_persistent(scene: SceneData, camera: Camera,
         state["done_sum"])
     cnt = jnp.zeros((R,), jnp.int32).at[state["lane"]].set(
         state["done_cnt"])
+    if sid0 is not None:
+        # report NEW completions only (done_sum holds only new radiance)
+        cnt = cnt - done0
     sum_img = jnp.nan_to_num(sum_img, nan=0.0, posinf=0.0, neginf=0.0)
     if return_stats:
         return sum_img, cnt, n_alive

@@ -120,12 +120,27 @@ def progressive_step(
     if params.persistent and params.mode == RenderMode.GI:
         from cadrays_tpu.integrator.persistent import render_persistent
 
-        # lane regeneration: ~1.5x sample throughput; per-pixel counts
-        # land in `weight`, so partially-completed quotas stay unbiased
+        # lane regeneration: ~1.5x sample throughput. The first pass
+        # covers ~all quotas at the measured ~2.7-bounce average path
+        # length; any under-completed pixel is TOPPED UP (the dropped
+        # in-flight sample restarts from scratch) until cnt == spp, so
+        # the accumulated estimator is the exact spp-sample mean with no
+        # truncation selection bias (see persistent.py docstring).
         n_steps = samples_per_step * 4 + params.ray_depth
+        sid_base = jnp.uint32(state.spp)
         sum_img, cnt = render_persistent(
             scene, camera, params, width, height, samples_per_step,
-            n_steps, sid_base=jnp.uint32(state.spp))
+            n_steps, sid_base=sid_base)
+        missing = int(samples_per_step - jnp.min(cnt))
+        while missing > 0:
+            # hard guarantee: m samples retire within m*ray_depth steps
+            top_img, top_cnt = render_persistent(
+                scene, camera, params, width, height, samples_per_step,
+                missing * params.ray_depth, sid_base=sid_base,
+                sid0=sid_base + cnt.astype(jnp.uint32), done0=cnt)
+            sum_img = sum_img + top_img
+            cnt = cnt + top_cnt
+            missing = int(samples_per_step - jnp.min(cnt))
         return ProgressiveState(
             accum=state.accum + sum_img.reshape(height, width, 3),
             weight=state.weight
