@@ -253,21 +253,32 @@ def main_persistent(args) -> None:
     if os.path.exists(baseline_path):
         try:
             with open(baseline_path) as f:
-                base = json.load(f).get("value", issued_per_s)
-            vs = issued_per_s / max(base, 1e-9)
+                base_doc = json.load(f)
+            # samples/s baseline = round-1 official rays/s / (depth*2):
+            # the identical workload in the primary unit, so vs_baseline
+            # stays continuous with rounds 1-4
+            base = base_doc.get(
+                "samples_value",
+                base_doc.get("value", issued_per_s) / (depth * 2))
+            vs = samples_per_s / max(base, 1e-9)
         except Exception:
             pass
 
+    # Primary metric is SAMPLES/S (physically true: completed per-pixel
+    # samples the device counted / slope time). The issued-equivalent
+    # rate (samples/s x depth x 2 — the nominal query count the fixed
+    # wavefront would have issued, rounds 1-4's definition) and the
+    # measured ACTIVE query rate ride alongside.
     print(json.dumps({
-        "metric": (f"rays/s/chip {mode} {args.res}x{args.res} Cornell "
+        "metric": (f"samples/s/chip {mode} {args.res}x{args.res} Cornell "
                    f"depth={args.depth}"),
-        "value": round(issued_per_s, 1),
-        "unit": "rays/s",
+        "value": round(samples_per_s, 1),
+        "unit": "samples/s",
         "vs_baseline": round(vs, 4),
+        "issued_rays_per_s": round(issued_per_s, 1),
         "active_rays_per_s": round(active_per_s, 1),
         "active_fraction": round(
             active_per_s / max(issued_per_s, 1e-9), 4),
-        "samples_per_s": round(samples_per_s, 1),
         "quota_completion": round(completion, 4),
         "renderer": (f"persistent-wavefront uniform quota spp={spp} "
                      f"T={T}, device-counted completions"),

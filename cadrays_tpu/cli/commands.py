@@ -882,6 +882,11 @@ class Console(ModelingMixin):
             elif a == "-coherent":
                 p = p.replace(coherent=_onoff(args, i))
                 i += 1
+            elif a == "-aa":
+                # RT-mode adaptive anti-aliasing
+                # (SettingsWidget.cxx:575-607; integrator/whitted.py)
+                p = p.replace(rt_aa=_onoff(args, i))
+                i += 1
             elif a == "-shadows":
                 p = p.replace(rt_shadows=_onoff(args, i))
                 i += 1

@@ -233,6 +233,7 @@ async function refreshSettings(){
     ` fov <input id="rs_fov" style="width:3em" value="${st.fovy}"/>` +
     ` <label><input type="checkbox" id="rs_two" ${st.two_sided ? 'checked' : ''}/>2-sided</label>` +
     ` <label><input type="checkbox" id="rs_issd" ${st.adaptive_debug ? 'checked' : ''}/>tiles</label>` +
+    ` <label><input type="checkbox" id="rs_aa" ${st.rt_aa ? 'checked' : ''}/>AA</label>` +
     ' <button onclick="applySettings()">apply</button>';
 }
 async function applySettings(){
@@ -245,6 +246,7 @@ async function applySettings(){
     fovy: parseFloat(document.getElementById('rs_fov').value),
     two_sided: document.getElementById('rs_two').checked,
     adaptive_debug: document.getElementById('rs_issd').checked,
+    rt_aa: document.getElementById('rs_aa').checked,
   };
   logLine('settings', await (await fetch('/settings',
     {method:'POST', body: JSON.stringify(req)})).text());
@@ -649,6 +651,7 @@ def _make_handler(state: ViewerState, console):
                         "adaptive": bool(p.adaptive),
                         "adaptive_debug": bool(p.adaptive_debug),
                         "persistent": bool(p.persistent),
+                        "rt_aa": bool(p.rt_aa),
                         "fovy": float(s.camera.fovy_deg),
                     }).encode()
                 self._send(200, "application/json", body)
@@ -823,7 +826,8 @@ def _make_handler(state: ViewerState, console):
                     for key, flag in (("two_sided", "-twoside"),
                                       ("coherent", "-coherent"),
                                       ("adaptive_debug", "-issd"),
-                                      ("persistent", "-persistent")):
+                                      ("persistent", "-persistent"),
+                                      ("rt_aa", "-aa")):
                         if key in req:
                             cmds.append(f"vrenderparams {flag} "
                                         f"{1 if req[key] else 0}")

@@ -41,6 +41,10 @@ class RenderParams:
     # RT-mode toggles (SettingsWidget.cxx:575-607)
     rt_shadows: bool = flax.struct.field(pytree_node=False, default=True)
     rt_reflections: bool = flax.struct.field(pytree_node=False, default=True)
+    # RT-mode adaptive anti-aliasing (the reference's FSAA checkbox):
+    # luminance-contrast edge mask + 4 rotated-grid subsamples traced
+    # only on edge lanes (integrator/whitted.py)
+    rt_aa: bool = flax.struct.field(pytree_node=False, default=False)
     # sort bounce rays by (octant, origin cell) before traversal — packet
     # coherence for the TPU kernels; pure reordering, estimator unchanged
     sort_rays: bool = flax.struct.field(pytree_node=False, default=True)
@@ -51,12 +55,14 @@ class RenderParams:
     # sorted-every vs 127.1 every-other vs 140.4 unsorted), so the
     # default stays 1; the knob remains for low-depth configs.
     sort_every: int = flax.struct.field(pytree_node=False, default=1)
-    # progressive accumulation via the persistent wavefront
+    # GI rendering via the persistent wavefront
     # (integrator/persistent.py): ~1.5x sample throughput from lane
-    # regeneration. Off by default: per-pixel sample counts then vary
-    # slightly per step (the accumulator weights handle it), and golden
-    # images are recorded with the fixed-depth path.
-    persistent: bool = flax.struct.field(pytree_node=False, default=False)
+    # regeneration, with a host-side top-up loop guaranteeing every
+    # per-pixel quota completes (integrator/progressive.py). ON by
+    # default since round 5 — it is the production path the headline
+    # bench measures; the fixed-depth wavefront stays selectable
+    # (vrenderparams -persistent off) and keeps its own goldens.
+    persistent: bool = flax.struct.field(pytree_node=False, default=True)
 
     # --- traced ----------------------------------------------------------
     radiance_clamp: jnp.ndarray = flax.struct.field(

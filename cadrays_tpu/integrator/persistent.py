@@ -23,7 +23,10 @@ packet kernels); `n_steps` bounds the scan, and the returned `done_cnt`
 says how many samples actually completed (callers loop until the quota
 is met, integrator/progressive-style, or size n_steps with slack:
 average path length is ~2.7 bounces at depth 5, so
-n_steps ≈ spp * 3 + depth completes everything in practice).
+n_steps ≈ spp * 3 + depth completes ~100% on Cornell-like scenes and
+~99% on glass-heavy ones — measured in
+tests/test_persistent.py::test_glass_scene_completion; the sid0/done0
+top-up below covers the tail exactly).
 
 Differentiable end-to-end like render_sample (same remat policy).
 """

@@ -48,6 +48,41 @@ def render_image(scene: SceneData, camera: Camera, params: RenderParams,
     return (acc / spp).reshape(height, width, 3)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "spp", "n_steps"))
+def _persistent_pass(scene, camera, params, width, height, spp, n_steps,
+                     sample_offset, sid0=None, done0=None):
+    from cadrays_tpu.integrator.persistent import render_persistent
+
+    return render_persistent(scene, camera, params, width, height, spp,
+                             n_steps, sid_base=sample_offset,
+                             sid0=sid0, done0=done0)
+
+
+def render_persistent_image(scene: SceneData, camera: Camera,
+                            params: RenderParams, width: int, height: int,
+                            spp: int = 1, sample_offset: jnp.ndarray = 0):
+    """(H, W, 3) HDR image via the persistent wavefront — the default GI
+    path. Runs one regenerating scan sized for the measured ~2.7-bounce
+    average path length, then tops up any under-completed pixel quota
+    (restarting dropped in-flight samples) until cnt == spp, so the
+    result is the exact spp-sample estimator (no truncation bias)."""
+    sample_offset = jnp.asarray(sample_offset, jnp.uint32)
+    n_steps = spp * 4 + params.ray_depth
+    sum_img, cnt = _persistent_pass(scene, camera, params, width, height,
+                                    spp, n_steps, sample_offset)
+    missing = int(spp - jnp.min(cnt))
+    while missing > 0:
+        top_img, top_cnt = _persistent_pass(
+            scene, camera, params, width, height, spp,
+            missing * params.ray_depth, sample_offset,
+            sid0=sample_offset + cnt.astype(jnp.uint32), done0=cnt)
+        sum_img = sum_img + top_img
+        cnt = cnt + top_cnt
+        missing = int(spp - jnp.min(cnt))
+    return (sum_img / jnp.maximum(cnt[:, None], 1)).reshape(
+        height, width, 3)
+
+
 class Renderer:
     """Stateful convenience wrapper around the functional core."""
 
@@ -58,6 +93,10 @@ class Renderer:
                spp: int = 16, sample_offset: int = 0) -> jnp.ndarray:
         """HDR render. `scene` is a SceneData or anything with .flatten()."""
         data = scene if isinstance(scene, SceneData) else scene.flatten()
+        if self.params.persistent and self.params.mode == RenderMode.GI:
+            return render_persistent_image(
+                data, camera, self.params, width, height, spp,
+                jnp.uint32(sample_offset))
         return render_image(data, camera, self.params, width, height, spp,
                             jnp.uint32(sample_offset))
 

@@ -53,6 +53,18 @@ def _rng_dim(bounce, slot):
     return _DIMS_PER_BOUNCE * bounce + slot + 16  # 0..15 reserved for camera
 
 
+# A/B experiment (bench/profile_r5b): additionally save the shade-chain
+# outputs as remat residuals so the backward recompute shortens, at
+# ~12 MB/step of extra residual HBM traffic.
+import os as _os
+
+_SAVE_SHADE = bool(_os.environ.get("CADRAYS_SAVE_SHADE", ""))
+
+
+def _sv(x):
+    return checkpoint_name(x, "trace") if _SAVE_SHADE else x
+
+
 def build_wavefront(scene: SceneData, camera: Camera,
                     params: RenderParams, width: int, height: int,
                     sample_id, pixel_ids):
@@ -224,6 +236,7 @@ def build_wavefront(scene: SceneData, camera: Camera,
                                         "trace")
             ls = sample_light_rows(lrows, h["position"], u[1], u[2])
             f, _ = eval_bsdf(mat, wo, ls["wi"], n)
+            f = _sv(f)
             cos_i = jnp.clip(vm.dot(ls["wi"], n), 0.0, 1.0)
             vis_need = hit & ls["valid"] & (cos_i > 0.0)
             contrib = ls["contrib"] * f * (cos_i * scene.lights.count)[..., None]
@@ -246,6 +259,7 @@ def build_wavefront(scene: SceneData, camera: Camera,
             u = rng4(state["pix"], state["sid"], bounce, _DIM_NEE + 1)
             em = _sample_emissive(scene, em_tab, h["position"], u)
             f, pdf_b = eval_bsdf(mat, wo, em["wi"], n)
+            f, pdf_b = _sv(f), _sv(pdf_b)
             cos_i = jnp.clip(vm.dot(em["wi"], n), 0.0, 1.0)
             vis_need = hit & em["valid"] & (cos_i > 0.0)
             pdf_sa_det = jax.lax.stop_gradient(em["pdf_sa"])
@@ -265,6 +279,7 @@ def build_wavefront(scene: SceneData, camera: Camera,
             u = rng4(state["pix"], state["sid"], bounce, _DIM_NEE + 2)
             wi_e, rad_e, pdf_e = envops.sample_env(scene.envmap, u[0], u[1])
             f, pdf_b = eval_bsdf(mat, wo, wi_e, n)
+            f, pdf_b = _sv(f), _sv(pdf_b)
             cos_i = jnp.clip(vm.dot(wi_e, n), 0.0, 1.0)
             vis_need = hit & (pdf_e > 0.0) & (cos_i > 0.0)
             pdf_e_det = jax.lax.stop_gradient(pdf_e)
@@ -297,6 +312,7 @@ def build_wavefront(scene: SceneData, camera: Camera,
         # ---- BSDF sampling ---------------------------------------------
         u = jnp.stack(rng4(state["pix"], state["sid"], bounce, _DIM_BSDF), axis=-1)
         bs = sample_bsdf(mat, wo, n, u, front=h["front"])
+        bs = {k: _sv(v) for k, v in bs.items()}
         new_dir = bs["wi"]
         new_origin = offset_ray_origin(h["position"], h["n_geom"], new_dir)
         throughput_next = throughput * bs["weight"]

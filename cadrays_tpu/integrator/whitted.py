@@ -66,27 +66,72 @@ def _direct_lighting(scene: SceneData, h, wo, mat, params: RenderParams,
 
 def render_whitted(scene: SceneData, camera: Camera, params: RenderParams,
                    width: int, height: int):
-    """Deterministic Whitted pass -> (H*W, 3) radiance."""
+    """Deterministic Whitted pass -> (H*W, 3) radiance.
+
+    params.rt_aa (SettingsWidget.cxx:575-607, the RT-mode adaptive
+    anti-aliasing checkbox): TPU-native adaptive FSAA under static
+    shapes — the center pass renders everywhere, a luminance-contrast
+    edge mask is computed from it (catches silhouettes AND shadow /
+    highlight boundaries), and four rotated-grid subsample passes run
+    with NON-edge lanes dead (t_max=0 — near-free in the packet
+    kernels), so only edge pixels pay the 4 extra rays. Edge pixels
+    average the 5 samples; smooth pixels keep the center sample.
+    """
     pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
-    px = (pixel_ids % width).astype(jnp.float32) + 0.5
-    py = (pixel_ids // width).astype(jnp.float32) + 0.5
-    z = jnp.zeros_like(px)
-    origin, direction = camera.generate_rays(px - 0.5, py - 0.5, z, z,
+    pxc = (pixel_ids % width).astype(jnp.float32)
+    pyc = (pixel_ids // width).astype(jnp.float32)
+    z = jnp.zeros_like(pxc)
+    origin, direction = camera.generate_rays(pxc, pyc, z, z,
                                              width, height)
     R = origin.shape[0]
 
+    def whitted_pass(origin, direction, live):
+        return _whitted_scan(scene, camera, params, width, height,
+                             origin, direction, live)
+
+    center = whitted_pass(origin, direction, jnp.ones((R,), bool))
+    if not params.rt_aa:
+        return center
+
+    # luminance-contrast edge mask on the center pass (4-neighborhood)
+    lum = vm.luminance(center).reshape(height, width)
+    dx = jnp.abs(jnp.diff(lum, axis=1, append=lum[:, -1:]))
+    dy = jnp.abs(jnp.diff(lum, axis=0, append=lum[-1:, :]))
+    contrast = jnp.maximum(jnp.maximum(dx, jnp.roll(dx, 1, axis=1)),
+                           jnp.maximum(dy, jnp.roll(dy, 1, axis=0)))
+    # threshold: relative to local luminance so shadow-boundary and
+    # silhouette steps trigger but smooth falloff gradients do not
+    edge = (contrast > 0.08 * (0.1 + lum)).reshape(-1)
+
+    # rotated-grid subsamples (the classic RGSS quad)
+    acc = center
+    for (ox, oy) in ((0.125, 0.625), (0.375, 0.125),
+                     (0.625, 0.875), (0.875, 0.375)):
+        o2, d2 = camera.generate_rays(pxc + (ox - 0.5), pyc + (oy - 0.5),
+                                      z, z, width, height)
+        acc = acc + whitted_pass(o2, d2, edge)
+    return jnp.where(edge[..., None], acc / 5.0, center)
+
+
+def _whitted_scan(scene: SceneData, camera: Camera, params: RenderParams,
+                  width: int, height: int, origin, direction, live):
+    """One deterministic Whitted chain over `live` lanes."""
+    R = origin.shape[0]
     state = dict(
         origin=origin, direction=direction,
         throughput=jnp.ones((R, 3), jnp.float32),
         radiance=jnp.zeros((R, 3), jnp.float32),
-        alive=jnp.ones((R,), bool),
+        alive=live,
         sigma=jnp.zeros((R, 3), jnp.float32),  # Beer-Lambert extinction
     )
     depth = params.ray_depth if params.rt_reflections else 1
 
     def step(state, bounce):
         o, d = state["origin"], state["direction"]
-        res = trace(scene.geometry, o, d, jnp.full((R,), INF))
+        # dead lanes (masked-out AA subsamples, terminated chains) trace
+        # with t_max=0 — the packet kernels retire them at the root
+        res = trace(scene.geometry, o, d,
+                    jnp.where(state["alive"], INF, 0.0))
         h = hit_attributes(scene.geometry, o, d, res["tri"])
         hit = h["hit"] & state["alive"]
         miss = (~h["hit"]) & state["alive"]

@@ -117,7 +117,40 @@ def _slab8(brow, ox, oy, oz, ix, iy, iz, t_cap, k):
     return hit, jnp.where(hit, t_near, _INF)
 
 
+def _slab8_bf16(brow, ox, oy, oz, ixb, iyb, izb, t_cap, k):
+    """Child-k slab test with the multiply + min/max chain in bfloat16
+    (2x VPU lane packing). Precision contract: the box-minus-origin
+    differences are computed in f32 FIRST (a bf16 subtract of bf16
+    inputs would carry error relative to the coordinate MAGNITUDE, not
+    the difference — catastrophic near box faces), then rounded to bf16
+    and multiplied by the bf16 inverse direction: every t carries
+    <= ~0.8% relative error (two bf16 roundings). The interval is then
+    widened CONSERVATIVELY by 2% both ways, so a true hit can never be
+    culled — only ~2%-slop false positives cost extra leaf tests. The
+    pushed t_near lower-bounds the true entry distance, keeping the
+    stack t-cull conservative too."""
+    bf = jnp.bfloat16
+    b = k * 6
+    tx0 = (brow[b + 0] - ox).astype(bf) * ixb
+    ty0 = (brow[b + 1] - oy).astype(bf) * iyb
+    tz0 = (brow[b + 2] - oz).astype(bf) * izb
+    tx1 = (brow[b + 3] - ox).astype(bf) * ixb
+    ty1 = (brow[b + 4] - oy).astype(bf) * iyb
+    tz1 = (brow[b + 5] - oz).astype(bf) * izb
+    t_near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                     jnp.minimum(ty0, ty1)),
+                         jnp.minimum(tz0, tz1))
+    t_far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1))
+    t_near = jnp.maximum(t_near.astype(jnp.float32) * 0.98, 0.0)
+    t_far = t_far.astype(jnp.float32) * 1.02
+    hit = t_near <= jnp.minimum(t_far, t_cap)
+    return hit, jnp.where(hit, t_near, _INF)
+
+
 _ABLATE = os.environ.get("CADRAYS_WIDE_ABLATE", "")
+_BF16_SLABS = bool(os.environ.get("CADRAYS_WIDE_BF16", ""))
 
 
 def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
@@ -324,6 +357,19 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
             widx = -e - 2
             brow = wboxes_ref[widx, :]  # (width*6,)
             lox, loy, loz, ldx, ldy, ldz, lix, liy, liz = ray_in_space(inst)
+            if _BF16_SLABS:
+                bb = jnp.bfloat16
+                lixb = lix.astype(bb)
+                liyb = liy.astype(bb)
+                lizb = liz.astype(bb)
+
+                def slab(kk, t_cap):
+                    return _slab8_bf16(brow, lox, loy, loz,
+                                       lixb, liyb, lizb, t_cap, kk)
+            else:
+                def slab(kk, t_cap):
+                    return _slab8(brow, lox, loy, loz, lix, liy, liz,
+                                  t_cap, kk)
             t_cur = out_ref[0, :]
             if any_hit:
                 open_ = lane_live & (out_ref[1, :] < 0.0)
@@ -340,8 +386,7 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
                 metas = []
                 tmins = []
                 for k in range(width):
-                    hit_k, tn_k = _slab8(brow, lox, loy, loz, lix, liy,
-                                         liz, t_cap, k)
+                    hit_k, tn_k = slab(k, t_cap)
                     m_k = wmeta_ref[widx, k]
                     pushes.append((jnp.any(hit_k)
                                    & (m_k != jnp.int32(0x7FFFFFFF)))
@@ -376,8 +421,7 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
 
             off = sp
             for k in range(width):
-                hit_k, tn_k = _slab8(brow, lox, loy, loz, lix, liy, liz,
-                                     t_cap, k)
+                hit_k, tn_k = slab(k, t_cap)
                 m_k = wmeta_ref[widx, k]
                 # NB: empty slots' [+inf, -inf] boxes DO pass the slab test
                 # for negative-direction rays ((inf - o) * ix flips sign),

@@ -81,6 +81,51 @@ def render_sharded_jit(scene: SceneData, camera: Camera, params: RenderParams,
                                 mesh)
 
 
+def render_persistent_sharded(scene: SceneData, camera: Camera,
+                              params: RenderParams, width: int, height: int,
+                              spp: int, n_steps: int, mesh: Mesh):
+    """The production GI path (persistent wavefront) over the mesh.
+
+    Ray-axis sharded via shard_map: each device runs the full
+    regenerating scan — including the per-bounce coherence sort — on its
+    LOCAL lane slice (a global sort would cost an all-to-all per bounce
+    for zero estimator benefit; lane order is pure optimization).
+    Forward needs no collectives; under `jax.grad` the replicated scene
+    (in_spec P()) makes shard_map's transpose psum parameter gradients
+    over ICI automatically.
+
+    Returns (sum_img (padded, 3), cnt (padded,)) in pixel order —
+    callers slice [:width*height] and divide; per-lane radiance is
+    bitwise independent of the device count (RNG is keyed on pixel id,
+    not lane position), so sharded == single-device up to float
+    reduction order inside a lane (i.e. exactly).
+    """
+    n = mesh.devices.size
+    total = width * height
+    padded = _pad_to(total, n)
+    pixel_ids = jnp.arange(padded, dtype=jnp.int32) % total
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(), P(RAY_AXIS)),
+             out_specs=(P(RAY_AXIS), P(RAY_AXIS)), check_vma=False)
+    def shard_body(scene_, camera_, pids):
+        from cadrays_tpu.integrator.persistent import render_persistent
+
+        return render_persistent(scene_, camera_, params, width, height,
+                                 spp, n_steps, pixel_ids=pids)
+
+    return shard_body(scene, camera, pixel_ids)
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "spp", "n_steps", "mesh"))
+def render_persistent_sharded_jit(scene: SceneData, camera: Camera,
+                                  params: RenderParams, width: int,
+                                  height: int, spp: int, n_steps: int,
+                                  mesh: Mesh):
+    return render_persistent_sharded(scene, camera, params, width, height,
+                                     spp, n_steps, mesh)
+
+
 def scene_replicated(scene: SceneData, mesh: Mesh) -> SceneData:
     """Place every scene leaf replicated on the mesh (explicit HBM copy)."""
     sharding = NamedSharding(mesh, P())

@@ -23,8 +23,13 @@ from typing import List, Optional
 import numpy as np
 
 
-def run_scene(script_path: str, spp: int, res):
-    """Render one scene script; returns (hdr image, seconds)."""
+def run_scene(script_path: str, spp: int, res, persistent=None):
+    """Render one scene script; returns (hdr image, seconds).
+
+    persistent: override params.persistent after the script runs — the
+    golden set gates BOTH estimators (the persistent default and the
+    fixed-depth wavefront, `<name>_fixed.npz`), which are statistically
+    but not bitwise equal."""
     import jax
 
     from cadrays_tpu.cli.commands import Console, Session
@@ -36,6 +41,8 @@ def run_scene(script_path: str, spp: int, res):
     console.source(script_path)
     if res:
         session.width, session.height = res
+    if persistent is not None:
+        session.params = session.params.replace(persistent=persistent)
     data = session.scene.flatten(session.camera)
     # compile outside the timed region (the reference times steady-state
     # frames, not driver startup)
@@ -105,6 +112,9 @@ def main(argv=None) -> int:
     ap.add_argument("--pix-tol", type=float, default=0.02)
     ap.add_argument("--update", "-u", action="store_true",
                     help="promote this run to the golden template")
+    ap.add_argument("--fixed-wavefront", action="store_true",
+                    help="render with persistent=False against the "
+                    "`<name>_fixed.npz` golden set")
     args = ap.parse_args(argv)
 
     if args.backend:
@@ -122,9 +132,12 @@ def main(argv=None) -> int:
     for fname in scenes:
         name = os.path.splitext(fname)[0]
         img, dt = run_scene(os.path.join(args.scenes, fname), args.spp,
-                            args.res)
+                            args.res,
+                            persistent=(False if args.fixed_wavefront
+                                        else None))
         spp_per_s = (args.spp - 1) / dt
-        g_img_path = os.path.join(args.golden, f"{name}.npz")
+        suffix = "_fixed" if args.fixed_wavefront else ""
+        g_img_path = os.path.join(args.golden, f"{name}{suffix}.npz")
         row = {"name": name, "ok": True, "spp_per_s": spp_per_s,
                "perf_delta": 0.0}
         if args.update or not os.path.exists(g_img_path):

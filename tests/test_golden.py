@@ -25,15 +25,22 @@ SCENES = sorted(
     os.path.splitext(f)[0] for f in os.listdir(DATA) if f.endswith(".crt"))
 
 
+# Two golden sets: `<name>.npz` gates the DEFAULT path (persistent
+# wavefront, round 5+); `<name>_fixed.npz` gates the fixed-depth
+# wavefront (persistent=False) — the estimators are statistically but
+# not bitwise equal, so each keeps its own deterministic template.
+@pytest.mark.parametrize("variant", ["persistent", "fixed"])
 @pytest.mark.parametrize("name", SCENES)
-def test_golden_image(name):
+def test_golden_image(name, variant):
     from cadrays_tpu.testing.regression import compare, run_scene
 
-    golden_path = os.path.join(GOLDEN, f"{name}.npz")
+    suffix = "_fixed" if variant == "fixed" else ""
+    golden_path = os.path.join(GOLDEN, f"{name}{suffix}.npz")
     if not os.path.exists(golden_path):
         pytest.skip(f"no golden for {name}; run regression --update")
     z = np.load(golden_path)
-    img, dt = run_scene(os.path.join(DATA, f"{name}.crt"), SPP, RES)
+    img, dt = run_scene(os.path.join(DATA, f"{name}.crt"), SPP, RES,
+                        persistent=(False if variant == "fixed" else None))
     stats = compare(img, z["image"], pix_tol=0.02)
     assert stats["match"], (
         f"{name}: {stats['bad_frac'] * 100:.2f}% pixels off "

@@ -198,6 +198,25 @@ class TestModes:
             assert np.isfinite(img).all()
             assert img.mean() > 0.01
 
+    def test_whitted_adaptive_aa(self, cornell_scene, cornell_camera):
+        """RT-mode anti-aliasing toggle (SettingsWidget.cxx:575-607):
+        smooth pixels keep the center sample bitwise; edge pixels get the
+        5-sample rotated-grid average, which must change SOME pixels and
+        keep everything finite."""
+        data = cornell_scene.flatten(cornell_camera)
+        base = RenderParams(mode=RenderMode.RT, ray_depth=2)
+        res = 64  # at 32^2 nearly every Cornell pixel is an "edge"
+        img0 = np.asarray(render_image(data, cornell_camera, base,
+                                       res, res, 1))
+        img1 = np.asarray(render_image(
+            data, cornell_camera, base.replace(rt_aa=True), res, res, 1))
+        assert np.isfinite(img1).all()
+        diff = np.abs(img1 - img0).max(axis=-1)
+        assert (diff > 0).mean() > 0.01      # edges were supersampled
+        assert (diff == 0).mean() > 0.30     # smooth interior untouched
+        # AA must not brighten/darken the image systematically
+        assert abs(img1.mean() - img0.mean()) < 0.02 * img0.mean()
+
     def test_orthographic(self, cornell_scene):
         cam = Camera.look_at(eye=(0.5, -2.0, 0.5), at=(0.5, 0.5, 0.5),
                              up=(0, 0, 1), projection=ORTHOGRAPHIC,

@@ -49,6 +49,57 @@ class TestSharding:
         assert img.shape == (13, 17, 3)
         assert np.isfinite(img).all()
 
+    def test_persistent_sharded_matches_single(self, setup):
+        """The production GI path (persistent wavefront) under SPMD:
+        per-lane RNG is keyed on pixel id, not lane position, so the
+        ray-axis sharded run must reproduce the 1-device run exactly
+        (round-5 VERDICT item 4)."""
+        from cadrays_tpu.parallel.sharding import (
+            render_persistent_sharded_jit,
+        )
+
+        data, cam = setup
+        params = RenderParams(ray_depth=3, persistent=True)
+        spp, T = 2, 9
+        sum1, cnt1 = render_persistent_sharded_jit(
+            data, cam, params, RES, RES, spp, T, make_mesh(1))
+        mesh = make_mesh(8)
+        sum8, cnt8 = render_persistent_sharded_jit(
+            scene_replicated(data, mesh), cam, params, RES, RES, spp, T,
+            mesh)
+        np.testing.assert_array_equal(np.asarray(cnt8), np.asarray(cnt1))
+        np.testing.assert_allclose(np.asarray(sum8), np.asarray(sum1),
+                                   atol=1e-5)
+        assert np.asarray(cnt1).min() >= 1  # quotas actually progressed
+
+    def test_persistent_sharded_gradients(self, setup):
+        """Parameter grads through the sharded persistent path: the
+        replicated scene's in_spec P() makes shard_map's transpose psum
+        them; they must match the single-device gradient."""
+        from cadrays_tpu.parallel.sharding import render_persistent_sharded
+
+        data, cam = setup
+        params = RenderParams(ray_depth=2, persistent=True)
+
+        def make_loss(mesh):
+            def loss_fn(s):
+                sum_img, cnt = render_persistent_sharded(
+                    s, cam, params, RES, RES, 2, 7, mesh)
+                img = sum_img / jnp.maximum(
+                    cnt[:, None].astype(jnp.float32), 1.0)
+                return jnp.mean(img)
+            return loss_fn
+
+        g1 = jax.grad(make_loss(make_mesh(1)), allow_int=True)(data)
+        mesh = make_mesh(8)
+        g8 = jax.grad(make_loss(mesh), allow_int=True)(
+            scene_replicated(data, mesh))
+        kd1 = np.asarray(g1.materials.kd)
+        kd8 = np.asarray(g8.materials.kd)
+        assert np.isfinite(kd8).all()
+        assert np.abs(kd1).max() > 0
+        np.testing.assert_allclose(kd8, kd1, rtol=2e-4, atol=1e-7)
+
     def test_sharded_gradient_psum(self, setup):
         """Parameter gradients must be summed over the ray-sharded axis —
         the dryrun_multichip contract."""
@@ -85,52 +136,39 @@ class TestScalingHarness:
             assert padded - total < 8
 
     def test_throughput_efficiency_measured(self, setup):
-        """Sharding-overhead floor: the SAME total work (64x64 pixels,
-        4 spp) on an 8-virtual-device mesh vs a 1-device mesh, through
-        the JITTED production path (render_sharded_jit).
+        """Sharding-overhead floor with an ideal of EXACTLY 1.0.
 
-        Method note (BASELINE.md >=85% scaling target): round-4 found
-        the earlier eager-path measurement was ~99% retracing overhead
-        (7 s/call eager vs 10 ms jitted), so its 0.77-0.94 "efficiency"
-        tracked Python tracing, not compute. Under jit on one physical
-        host the 8 "devices" are XLA threads sharing 2 cores; t8 == t1
-        is the conservative ideal (same total compute; in practice t8
-        can BEAT t1 because the single-device run only saturates one
-        core), so eff = t1/t8 >= 0.85 bounds per-shard GSPMD overhead —
-        partition/collective insertion, 8x dispatch, the unsharded
-        final reshape — from above. Idle-box snapshots measure
-        1.0-1.5; best-of-5 guards scheduler hiccups."""
+        Method note (round-5 VERDICT item 5): the round-4 proxy compared
+        a 1-device run (which only saturated one of the host's shared
+        cores) against an 8-virtual-device run (which used both), so its
+        measured 2.02 made the 0.85 floor vacuous. The probe now runs in
+        a SUBPROCESS pinned to a single CPU core before jax is imported:
+        both mesh(1) and mesh(8) runs get one core of budget for the
+        same total work, the ideal ratio is exactly 1.0, and eff < 1
+        isolates GSPMD partition overhead (8x dispatch, collective
+        machinery, sharded-output re-assembly). Floor 0.9 per
+        BASELINE.md's >=85% scaling target, and it CAN fail: a 10%
+        partitioning overhead trips it. Covers both the fixed wavefront
+        and the persistent (production) path."""
         import json
         import os
-        import time
+        import subprocess
+        import sys
 
-        data, cam = setup
-        params = RenderParams(ray_depth=2)
-        mesh8 = make_mesh(8)
-        mesh1 = make_mesh(1)
-        reps = scene_replicated(data, mesh8)
-        from cadrays_tpu.parallel.sharding import render_sharded_jit
-
-        def timed(mesh, scene):
-            f = lambda: jax.block_until_ready(render_sharded_jit(
-                scene, cam, params, 64, 64, 4, mesh))
-            f()  # compile
-            best = float("inf")
-            for _ in range(5):
-                t0 = time.perf_counter()
-                f()
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        t1 = timed(mesh1, data)
-        t8 = timed(mesh8, reps)
-        eff = t1 / t8
-        out = {"virtual_efficiency": eff, "t1": t1, "t8": t8,
-               "method": "same total work (64x64x4spp), jitted path, 8 "
-                         "virtual cpu devices vs 1; best-of-5; ideal "
-                         "t8<=t1 on shared cores"}
+        probe = os.path.join(os.path.dirname(__file__),
+                             "_scaling_probe.py")
+        env = dict(os.environ,
+                   JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8",
+                   PYTHONPATH=os.path.join(os.path.dirname(__file__),
+                                           ".."))
+        r = subprocess.run([sys.executable, probe], env=env,
+                           capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
         path = os.path.join(os.path.dirname(__file__), "..", "bench",
                             "scaling_cpu_mesh.json")
         with open(path, "w") as f:
             json.dump(out, f)
-        assert eff > 0.85, f"sharding overhead above floor: {out}"
+        assert out["eff_fixed"] > 0.9, out
+        assert out["eff_persistent"] > 0.9, out
