@@ -1292,10 +1292,15 @@ def _load_mesh_file(path: str):
         except ValueError as e:
             raise CommandError(str(e)) from e
     if low.endswith(".blend"):
-        raise CommandError(
-            ".blend needs an external converter (no native parser): "
-            "export to glTF/OBJ/PLY first — e.g. "
-            "`blender -b file.blend -o out.glb`.")
+        # Native DNA-driven reader, classic MVert/MPoly/MLoop layout;
+        # object transforms auto-pre-baked into the meshes — the
+        # BLEND-specific semantics of ImportSettingsEditor.cxx:62-65.
+        from cadrays_tpu.geometry.loaders.blend import load_blend
+
+        try:
+            return load_blend(path)
+        except ValueError as e:
+            raise CommandError(str(e)) from e
     raise CommandError(
         f"unsupported mesh format: {path} (obj/ply/stl/gltf/glb/3ds/dxf "
         "native; STEP/IGES/BREP via a CAD tessellation backend, "
