@@ -968,7 +968,16 @@ class ModelingMixin:
                 sel = shape.face_id == fi
                 if not np.any(sel):
                     continue
-                sub = SolidShape(shape.verts, shape.tris[sel])
+                # compact to the face's own vertices: keeping the whole
+                # solid's vertex table made every face part span the
+                # solid's bbox, which broke vfit/vfront camera framing
+                # after `explode b FACE` + `vlocation` (the CornellBox.tcl
+                # pixel golden caught it)
+                tris = shape.tris[sel]
+                used = np.unique(tris)
+                remap = np.full(shape.verts.shape[0], -1, np.int64)
+                remap[used] = np.arange(used.size)
+                sub = SolidShape(shape.verts[used], remap[tris])
                 sub.loc = shape.loc.copy()
                 out.append(sub)
             return out
