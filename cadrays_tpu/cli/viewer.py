@@ -34,6 +34,13 @@ Serves:
                    baseFresnel:{type,params}} or {name, preset} —
                    executes as vbsdf/vsetmaterial (panel edits share the
                    command path's validation + restart fingerprint)
+  GET  /transform?names=a,b  JSON numeric TRS fields: single select =
+                   decomposed local translation/Euler/scale (absolute),
+                   multi = common bbox-center anchor + zero deltas
+                   (TransformWidget.cxx:112-246)
+  POST /transform  JSON {names, translation, rotation_deg, scale,
+                   reset?} — recompose (single) or delta-about-anchor
+                   (multi)
   GET  /lights     JSON light list (LightSourcesEditor panel data)
   POST /light      JSON {op: add|del|clone|change, ...} over vlight
   GET  /settings   JSON render settings (SettingsWidget panel data)
@@ -104,6 +111,7 @@ button { background:#333; color:#eee; border:1px solid #555; padding:4px }
      <option>gold</option><option>copper</option><option>chrome</option>
    </select></p>
 <div id="mat"></div></details>
+<details><summary>transform</summary><div id="xform"></div></details>
 <details><summary>render settings</summary><div id="settings"></div>
 </details>
 <details><summary>lights</summary>
@@ -163,6 +171,40 @@ async function selectNode(name){
   selected = name;
   document.getElementById('sel').textContent = '[' + name + ']';
   refreshMat();
+  refreshXform();
+}
+const XF = [['translation','T'],['rotation_deg','R&deg;'],['scale','S']];
+async function refreshXform(){
+  if (!selected) return;
+  const t = await (await fetch('/transform?names=' +
+    encodeURIComponent(selected))).json();
+  let h = '';
+  for (const [k, lbl] of XF){
+    h += `<div>${lbl}: ` + t[k].map((x, i) =>
+      `<input style="width:5em" id="x_${k}_${i}" value="${x.toFixed(4)}"/>`
+    ).join('') + '</div>';
+  }
+  h += '<button onclick="applyXform()">apply</button>' +
+       ' <button onclick="resetXform()">reset</button>';
+  document.getElementById('xform').innerHTML = h;
+}
+async function applyXform(){
+  const req = {names: [selected]};
+  for (const [k] of XF){
+    const v = [];
+    for (let i = 0; i < 3; i++)
+      v.push(parseFloat(document.getElementById(`x_${k}_${i}`).value));
+    req[k] = v;
+  }
+  logLine('transform ' + selected,
+    await (await fetch('/transform', {method:'POST',
+      body: JSON.stringify(req)})).text());
+  refreshXform();
+}
+async function resetXform(){
+  await fetch('/transform', {method:'POST',
+    body: JSON.stringify({names: [selected], reset: true})});
+  refreshXform();
 }
 const MATF = [['kd',3],['ks',3],['kt',3],['kc',3],['le',3],
   ['baseRoughness',1],['coatRoughness',1],['absorpColor',3],
@@ -447,6 +489,114 @@ def _make_handler(state: ViewerState, console):
                 np.float32)
         s.scene.touch()
 
+    # ---- numeric TRS panel (TransformWidget.cxx:112-246) ---------------
+    def _decompose_trs(m):
+        """4x4 -> (translation, Euler XYZ degrees, per-axis scale);
+        inverse of _compose_trs. Euler convention: R = Rz @ Ry @ Rx
+        (angles reported in the reference panel's XYZ slider order)."""
+        t = m[:3, 3].tolist()
+        sx = float(np.linalg.norm(m[:3, 0]))
+        sy = float(np.linalg.norm(m[:3, 1]))
+        sz = float(np.linalg.norm(m[:3, 2]))
+        r = m[:3, :3] / np.asarray([max(sx, 1e-12), max(sy, 1e-12),
+                                    max(sz, 1e-12)])
+        ry = float(np.arcsin(np.clip(-r[2, 0], -1.0, 1.0)))
+        if abs(np.cos(ry)) > 1e-6:
+            rx = float(np.arctan2(r[2, 1], r[2, 2]))
+            rz = float(np.arctan2(r[1, 0], r[0, 0]))
+        else:  # gimbal: fold Z into X like the reference does
+            rx = float(np.arctan2(-r[1, 2], r[1, 1]))
+            rz = 0.0
+        deg = [float(np.degrees(a)) for a in (rx, ry, rz)]
+        return t, deg, [sx, sy, sz]
+
+    def _compose_trs(t, deg, s):
+        rx, ry, rz = [np.radians(a) for a in deg]
+
+        def rot(c, sn, axis):
+            m = np.eye(3)
+            i, j = [(1, 2), (0, 2), (0, 1)][axis]
+            m[i, i] = c
+            m[j, j] = c
+            m[i, j] = -sn if axis != 1 else sn
+            m[j, i] = sn if axis != 1 else -sn
+            return m
+
+        r = (rot(np.cos(rz), np.sin(rz), 2)
+             @ rot(np.cos(ry), np.sin(ry), 1)
+             @ rot(np.cos(rx), np.sin(rx), 0))
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = (r * np.asarray(s)).astype(np.float32)
+        m[:3, 3] = np.asarray(t, np.float32)
+        return m
+
+    def _subtree_center(nodes):
+        los, his = [], []
+        for node in nodes:
+            for n in node.traverse():
+                if n.mesh is not None:
+                    mm = n.mesh.transformed(n.world_transform())
+                    lo, hi = mm.bounds()
+                    los.append(lo)
+                    his.append(hi)
+        if not los:
+            return np.zeros(3, np.float32)
+        return ((np.min(los, axis=0) + np.max(his, axis=0)) / 2) \
+            .astype(np.float32)
+
+    def _xform_nodes(names):
+        s = state.session
+        nodes = []
+        for nm in names:
+            node = s.scene.model.get(nm)
+            if node is None:
+                raise ValueError(f"no node '{nm}'")
+            nodes.append(node)
+        return nodes
+
+    def _transform_json(names):
+        """Single select: decomposed local TRS (absolute edit fields).
+        Multi select: anchor = mean of subtree bbox centers, zero
+        rotation, unit scale (delta edit fields) — TransformWidget.cxx
+        semantics."""
+        nodes = _xform_nodes(names)
+        if len(nodes) == 1:
+            t, r, sc = _decompose_trs(
+                np.asarray(nodes[0].transform, np.float64))
+            return {"mode": "absolute", "translation": t,
+                    "rotation_deg": r, "scale": sc}
+        anchor = np.mean([_subtree_center([n]) for n in nodes], axis=0)
+        return {"mode": "delta", "translation": anchor.tolist(),
+                "rotation_deg": [0.0, 0.0, 0.0], "scale": [1.0, 1.0, 1.0]}
+
+    def _transform_edit(req):
+        nodes = _xform_nodes(req["names"])
+        s = state.session
+        if req.get("reset"):
+            for n in nodes:
+                n.transform = np.eye(4, dtype=np.float32)
+            s.scene.touch()
+            return
+        t = [float(x) for x in req.get("translation", (0, 0, 0))]
+        r = [float(x) for x in req.get("rotation_deg", (0, 0, 0))]
+        sc = [float(x) for x in req.get("scale", (1, 1, 1))]
+        if len(nodes) == 1:
+            nodes[0].transform = _compose_trs(t, r, sc)
+        else:
+            # delta about the common anchor: translation field holds the
+            # new anchor position; rotation/scale apply relative
+            anchor = np.mean([_subtree_center([n]) for n in nodes],
+                             axis=0)
+            delta = _compose_trs([0, 0, 0], r, sc)
+            t0 = np.eye(4, dtype=np.float32)
+            t0[:3, 3] = -anchor
+            t1 = np.eye(4, dtype=np.float32)
+            t1[:3, 3] = anchor + (np.asarray(t, np.float32) - anchor)
+            m = t1 @ delta @ t0
+            for n in nodes:
+                n.transform = (m @ n.transform).astype(np.float32)
+        s.scene.touch()
+
     def _tree_json(node):
         """Scene-tree panel data (DataModelWidget.cxx:246-312): nested
         name/visible/leaf records for both roots."""
@@ -634,6 +784,16 @@ def _make_handler(state: ViewerState, console):
                     self._send(404, "text/plain", b"no such node")
                 else:
                     self._send(200, "application/json", body)
+            elif self.path.startswith("/transform?"):
+                q = urllib.parse.parse_qs(
+                    urllib.parse.urlparse(self.path).query)
+                names = q["names"][0].split(",")
+                try:
+                    with state.lock:
+                        body = json.dumps(_transform_json(names)).encode()
+                    self._send(200, "application/json", body)
+                except ValueError as e:
+                    self._send(404, "text/plain", str(e).encode())
             elif self.path.startswith("/lights"):
                 with state.lock:
                     body = json.dumps(_lights_json()).encode()
@@ -783,6 +943,14 @@ def _make_handler(state: ViewerState, console):
                         else:
                             node.hide()
                         s.scene.touch()
+                    self._send(200, "text/plain", b"ok")
+                except Exception as e:
+                    self._send(200, "text/plain", f"[error] {e}".encode())
+            elif self.path.startswith("/transform"):
+                try:
+                    req = json.loads(self._body())
+                    with state.lock:
+                        _transform_edit(req)
                     self._send(200, "text/plain", b"ok")
                 except Exception as e:
                     self._send(200, "text/plain", f"[error] {e}".encode())

@@ -290,3 +290,75 @@ class TestSettingsPanel:
         # mode switch
         _post(url, "/settings", {"mode": "rt"})
         assert json.loads(_get(url, "/settings"))["mode"] == "rt"
+
+
+class TestTransformPanel:
+    """Numeric TRS panel endpoints (TransformWidget.cxx:112-246)."""
+
+    def test_get_single_decomposes_local(self, viewer):
+        s, state, url = viewer
+        t = json.loads(_get(url, "/transform?names=s"))
+        assert t["mode"] == "absolute"
+        assert t["translation"] == pytest.approx([0.5, 0.5, 0.5])
+        assert t["rotation_deg"] == pytest.approx([0, 0, 0], abs=1e-5)
+        assert t["scale"] == pytest.approx([1, 1, 1])
+
+    def test_post_absolute_roundtrip(self, viewer):
+        s, state, url = viewer
+        _post(url, "/transform", {
+            "names": ["s"], "translation": [1.0, 2.0, 3.0],
+            "rotation_deg": [10.0, 20.0, 30.0], "scale": [2.0, 2.0, 2.0]})
+        t = json.loads(_get(url, "/transform?names=s"))
+        assert t["translation"] == pytest.approx([1, 2, 3], abs=1e-5)
+        assert t["rotation_deg"] == pytest.approx([10, 20, 30], abs=1e-3)
+        assert t["scale"] == pytest.approx([2, 2, 2], abs=1e-5)
+        node = s.scene.model.get("s")
+        assert np.linalg.det(np.asarray(node.transform)[:3, :3]) == \
+            pytest.approx(8.0, rel=1e-4)
+
+    def test_reset(self, viewer):
+        s, state, url = viewer
+        _post(url, "/transform", {"names": ["s"],
+                                  "translation": [9, 9, 9],
+                                  "rotation_deg": [0, 0, 0],
+                                  "scale": [1, 1, 1]})
+        _post(url, "/transform", {"names": ["s"], "reset": True})
+        assert np.allclose(np.asarray(s.scene.model.get("s").transform),
+                           np.eye(4))
+
+    def test_multi_select_delta_about_anchor(self, viewer):
+        s, state, url = viewer
+        from cadrays_tpu.cli.commands import Console
+
+        con = Console(s)
+        con.exec("psphere q 0.2")
+        con.exec("vdisplay q")
+        con.exec("vlocation q -setLocation 1.5 0.5 0.5")
+        t = json.loads(_get(url, "/transform?names=s,q"))
+        assert t["mode"] == "delta"
+        anchor = t["translation"]
+        assert anchor == pytest.approx([1.0, 0.5, 0.5], abs=1e-5)
+        # rotate both 180deg about Z at the anchor: the two spheres swap
+        _post(url, "/transform", {
+            "names": ["s", "q"], "translation": anchor,
+            "rotation_deg": [0.0, 0.0, 180.0], "scale": [1, 1, 1]})
+        ts = np.asarray(s.scene.model.get("s").transform)[:3, 3]
+        tq = np.asarray(s.scene.model.get("q").transform)[:3, 3]
+        assert ts == pytest.approx([1.5, 0.5, 0.5], abs=1e-4)
+        assert tq == pytest.approx([0.5, 0.5, 0.5], abs=1e-4)
+
+    def test_edit_restarts_accumulation(self, viewer):
+        s, state, url = viewer
+        v0 = s.scene._version
+        _post(url, "/transform", {"names": ["s"],
+                                  "translation": [0.6, 0.5, 0.5],
+                                  "rotation_deg": [0, 0, 0],
+                                  "scale": [1, 1, 1]})
+        assert s.scene._version != v0
+
+    def test_unknown_node_404(self, viewer):
+        s, state, url = viewer
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            _get(url, "/transform?names=nope")
