@@ -333,19 +333,33 @@ def load_image(path: str, to_linear: bool = True) -> np.ndarray:
         return read_exr(path)
     if low.endswith(".png"):
         img = read_png(path)
-    else:
+    elif low.endswith((".jpg", ".jpeg")):
+        # native baseline decoder (utils/jpeg.py) — the reference reads
+        # its default env map via vendored stb_image (no PIL); only
+        # progressive/arithmetic files fall through to PIL
         try:
-            from PIL import Image  # optional
+            from cadrays_tpu.utils.jpeg import read_jpeg
 
-            img = np.asarray(Image.open(path).convert("RGB"),
-                             np.float32) / 255.0
-        except ImportError as e:
-            raise ValueError(
-                f"cannot read {path}: PIL unavailable for this format") from e
+            img = read_jpeg(path)
+        except ValueError:
+            img = _read_via_pil(path)
+    else:
+        img = _read_via_pil(path)
     if to_linear:
         img = np.where(img <= 0.04045, img / 12.92,
                        ((img + 0.055) / 1.055) ** 2.4).astype(np.float32)
     return img
+
+
+def _read_via_pil(path: str) -> np.ndarray:
+    try:
+        from PIL import Image  # optional
+
+        return np.asarray(Image.open(path).convert("RGB"),
+                          np.float32) / 255.0
+    except ImportError as e:
+        raise ValueError(
+            f"cannot read {path}: PIL unavailable for this format") from e
 
 
 def save_image(path: str, image: np.ndarray) -> None:
