@@ -43,6 +43,16 @@ def main() -> None:
     ap.add_argument("--fixed-wavefront", action="store_true",
                     help="bench the fixed-depth render_sample path "
                          "instead of the persistent wavefront")
+    ap.add_argument("--sort-every", type=int, default=None,
+                    help="override params.sort_every (A/B the re-sort "
+                         "cadence)")
+    ap.add_argument("--pool", action="store_true",
+                    help="use the work-pool lane scheduler "
+                         "(render_persistent_pool)")
+    ap.add_argument("--granularity", type=int, default=16,
+                    help="samples per pool work item (pool mode)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override the bounce-step budget T")
     args = ap.parse_args()
     if args.quick:
         args.res, args.spp, args.chunks = 128, 2, 1
@@ -182,20 +192,30 @@ def main_persistent(args) -> None:
 
     from cadrays_tpu.diff.optimize import l2_image_loss
     from cadrays_tpu.integrator.params import RenderParams
-    from cadrays_tpu.integrator.persistent import render_persistent
+    from cadrays_tpu.integrator.persistent import (render_persistent,
+                                                   render_persistent_pool)
     from cadrays_tpu.testing.scenes import cornell_box, cornell_camera
 
     scene = cornell_box(full=True, sphere_res=24)
     cam = cornell_camera()
     data = scene.flatten(cam)
     params = RenderParams(ray_depth=args.depth)
+    if args.sort_every is not None:
+        params = params.replace(sort_every=args.sort_every)
+    if args.pool:
+        import functools
+
+        render_fn = functools.partial(render_persistent_pool,
+                                      granularity=args.granularity)
+    else:
+        render_fn = render_persistent
 
     W = H = args.res
     R = (W * H) // args.chunks
     pids = jnp.arange(R, dtype=jnp.int32)
     fwd_only = args.fwd_only
     spp = 4 if args.quick else 32
-    T = spp * 3 if args.quick else spp * 3
+    T = args.steps if args.steps else spp * 3
     depth = args.depth
 
     def make_loop(n):
@@ -205,7 +225,7 @@ def main_persistent(args) -> None:
                 cnt_acc, alive_acc, chk = carry
                 pp = params.replace(seed=jnp.uint32(i))
                 if fwd_only:
-                    img, cnt, alive = render_persistent(
+                    img, cnt, alive = render_fn(
                         data, cam, pp, W, H, spp, T, pixel_ids=pids,
                         return_stats=True)
                     return (cnt_acc + jnp.sum(cnt),
@@ -213,7 +233,7 @@ def main_persistent(args) -> None:
                             chk + jnp.sum(img) * 1e-30)
 
                 def loss_fn(s):
-                    img, cnt, alive = render_persistent(
+                    img, cnt, alive = render_fn(
                         s, cam, pp, W, H, spp, T, pixel_ids=pids,
                         return_stats=True)
                     img = img / jnp.maximum(
@@ -280,8 +300,9 @@ def main_persistent(args) -> None:
         "active_fraction": round(
             active_per_s / max(issued_per_s, 1e-9), 4),
         "quota_completion": round(completion, 4),
-        "renderer": (f"persistent-wavefront uniform quota spp={spp} "
-                     f"T={T}, device-counted completions"),
+        "renderer": (f"persistent-wavefront{' pool' if args.pool else ''} "
+                     f"uniform quota spp={spp} T={T}, "
+                     f"device-counted completions"),
     }))
 
 

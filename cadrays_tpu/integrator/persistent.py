@@ -164,3 +164,228 @@ def render_persistent(scene: SceneData, camera: Camera,
     if return_stats:
         return sum_img, cnt, n_alive
     return sum_img, cnt
+
+
+# ===========================================================================
+# Work-pool scheduler: lanes adopt quota items across pixels
+# ===========================================================================
+#
+# The per-lane-quota renderer above idles every lane whose own spp quota
+# completes before the scan ends: lane completion time is a sum of `spp`
+# iid path lengths, so its spread is ~sigma_L * sqrt(spp) steps and the
+# ragged tail costs ~20% of all lane-steps at the bench config (spp=32,
+# T=96 completes 86.6%).  This variant is the classic persistent-threads
+# work queue rebuilt for a lockstep machine with no atomics:
+#
+#   * total work = R_pixels x spp samples, chopped into ITEMS of
+#     `granularity` consecutive samples of one pixel; item j covers
+#     pixel pixel_ids[j % R], sample ids (j // R) * g .. +g (cycling
+#     pixels first keeps early items spread across the image);
+#   * every lane starts on item lane_id; when a lane finishes an item it
+#     pops the next one from a global pool — the "atomic counter" is a
+#     per-step exclusive cumsum of the item-finished mask added to a
+#     scalar pool pointer carried through the scan (deterministic, no
+#     contention);
+#   * completed samples bank into K fixed per-lane (pixel, sum, count)
+#     SLOTS (a lane adopts a new pixel at most T/(g*mean_path) times, so
+#     small K bounds it; a lane out of slots stops taking work).  The
+#     slots ride the coherence-sort permutation via the wavefront's
+#     `extra` state columns and are scatter-added into the image ONCE
+#     after the scan — the per-step cost of migration is one cumsum.
+#
+# Estimator: identical per-sample physics and RNG streams as
+# render_persistent (samples are keyed by (pixel, sid)); only the
+# completion SET at cutoff differs, and with full completion the two
+# renderers produce the same sample set exactly.
+
+POOL_SLOTS = 4
+
+
+def render_persistent_pool(scene: SceneData, camera: Camera,
+                           params: RenderParams, width: int, height: int,
+                           spp: int, n_steps: int, pixel_ids=None,
+                           granularity: int = 16,
+                           return_stats: bool = False, sid_base=0):
+    """Render `spp` samples/pixel with pool-scheduled lane assignment.
+
+    Returns (sum_image (R, 3), done_cnt (R,)) in pixel_ids order, like
+    render_persistent.  Truncation at n_steps drops in-flight samples
+    and leaves unpopped pool items unrendered; done_cnt reports per-pixel
+    completions (callers top-up exactly like render_persistent — the
+    progressive driver uses the classic renderer for the small owed
+    tail).
+    """
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
+    R = pixel_ids.shape[0]
+    K = POOL_SLOTS
+    g = int(granularity)
+    items_per_px = -(-spp // g)
+    n_items = R * items_per_px
+    seed = params.seed
+    identity_pixels = bool(width * height == R)
+
+    def camera_rays(pix, sid):
+        jx, jy, ul0, ul1 = crng.sample4(pix, sid, _DIM_PIXEL, seed)
+        pxx = (pix % width).astype(jnp.float32)
+        pyy = (pix // width).astype(jnp.float32)
+        return camera.generate_rays(pxx + jx, pyy + jy, ul0, ul1,
+                                    width, height)
+
+    def item_assignment(j):
+        """Pool item j -> (pixel, sid_lo, sid_hi). Safe for any j (out of
+        range clamps; callers mask)."""
+        jc = jnp.clip(j, 0, n_items - 1)
+        px_idx = jc % R
+        pix = (px_idx if identity_pixels else pixel_ids[px_idx]) \
+            .astype(jnp.int32)
+        lo = (jc // R).astype(jnp.uint32) * jnp.uint32(g)
+        hi = jnp.minimum(lo + jnp.uint32(g), jnp.uint32(spp))
+        sb = jnp.asarray(sid_base, jnp.uint32)
+        return pix, sb + lo, sb + hi
+
+    state, bounce_fn = build_wavefront(scene, camera, params, width,
+                                       height,
+                                       jnp.asarray(sid_base, jnp.uint32),
+                                       pixel_ids)
+    # initial items: lane i owns item i
+    pix0, lo0, hi0 = item_assignment(jnp.arange(R, dtype=jnp.int32))
+    o0, d0 = camera_rays(pix0, lo0)
+    bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+    extra0 = jnp.concatenate([
+        bc(jnp.where(jnp.arange(K)[None, :] == 0, pix0[:, None], -1)
+           .astype(jnp.int32)),                       # bank_pix (K)
+        jnp.zeros((R, 3 * K), jnp.float32),           # bank_sum (K,3)
+        bc(jnp.zeros((R, K), jnp.int32)),             # bank_cnt (K)
+        bc(jnp.zeros((R, 1), jnp.int32)),             # cur slot
+        bc(hi0[:, None].astype(jnp.int32)),           # item sid end
+    ], axis=1)
+    state = dict(state, origin=o0, direction=d0, pix=pix0, sid=lo0,
+                 extra=extra0)
+
+    def split_extra(e):
+        i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        return dict(
+            bank_pix=i32(e[:, 0:K]),
+            bank_sum=e[:, K:4 * K].reshape(-1, K, 3),
+            bank_cnt=i32(e[:, 4 * K:5 * K]),
+            slot=i32(e[:, 5 * K]),
+            item_end=i32(e[:, 5 * K + 1]),
+        )
+
+    def join_extra(d):
+        return jnp.concatenate([
+            bc(d["bank_pix"]),
+            d["bank_sum"].reshape(-1, 3 * K),
+            bc(d["bank_cnt"]),
+            bc(d["slot"][:, None]),
+            bc(d["item_end"][:, None]),
+        ], axis=1)
+
+    clamp = jnp.maximum(params.radiance_clamp, 1.0)
+
+    def step(carry, t):
+        st, pool_ptr = carry
+        st2, n_alive = bounce_fn(st, t)
+        ex = split_extra(st2["extra"])
+        item_end = ex["item_end"].astype(jnp.uint32)
+        slot = ex["slot"]
+
+        died = ~st2["alive"]
+        in_item = st2["sid"] < item_end
+        retire = died & in_item
+        # bank the finished sample into the current slot (per-sample
+        # clamp at banking time, same as render_persistent)
+        rad = st2["radiance"]
+        peak = jnp.max(rad, axis=-1, keepdims=True)
+        rad = rad * jnp.where(peak > clamp,
+                              clamp / jnp.maximum(peak, 1e-12), 1.0)
+        onehot = jax.nn.one_hot(slot, K, dtype=jnp.float32)
+        bank_sum = ex["bank_sum"] + jnp.where(
+            retire[:, None, None],
+            onehot[:, :, None] * rad[:, None, :], 0.0)
+        bank_cnt = ex["bank_cnt"] + jnp.where(
+            retire[:, None], onehot.astype(jnp.int32), 0)
+
+        next_sid = st2["sid"] + 1
+        regen_same = retire & (next_sid < item_end)
+        # item finished -> pop a new one from the pool
+        want_item = retire & (next_sid >= item_end)
+        rank = jnp.cumsum(want_item.astype(jnp.int32)) \
+            - want_item.astype(jnp.int32)
+        j = pool_ptr + rank
+        have = want_item & (j < n_items)
+        new_pix, new_lo, new_hi = item_assignment(j)
+        pool_ptr = pool_ptr + jnp.sum(want_item.astype(jnp.int32))
+
+        # slot bookkeeping: adopting a new pixel advances the slot; a
+        # lane out of slots refuses the item (it stays popped — counted
+        # as dropped work; K is sized so this is negligible)
+        new_slot = slot + 1
+        slot_ok = new_slot < K
+        adopt = have & slot_ok
+        slot2 = jnp.where(adopt, new_slot, slot)
+        bank_pix = jnp.where(
+            adopt[:, None] & (jnp.arange(K)[None, :] == new_slot[:, None]),
+            new_pix[:, None], ex["bank_pix"])
+
+        start = regen_same | adopt
+        pix2 = jnp.where(adopt, new_pix, st2["pix"])
+        sid2 = jnp.where(adopt, new_lo,
+                         jnp.where(retire, next_sid, st2["sid"]))
+        item_end2 = jnp.where(adopt, new_hi.astype(jnp.int32),
+                              ex["item_end"])
+        o_new, d_new = camera_rays(pix2, sid2)
+
+        w = start[..., None]
+        st3 = dict(
+            origin=jnp.where(w, o_new, st2["origin"]),
+            direction=jnp.where(w, d_new, st2["direction"]),
+            throughput=jnp.where(w, 1.0, st2["throughput"]),
+            radiance=jnp.where(w, 0.0, st2["radiance"]),
+            alive=st2["alive"] | start,
+            prev_pdf=jnp.where(start, 0.0, st2["prev_pdf"]),
+            prev_delta=st2["prev_delta"] | start,
+            sigma=jnp.where(w, 0.0, st2["sigma"]),
+            pix=pix2,
+            lane=st2["lane"],
+            sid=sid2,
+            bdepth=jnp.where(start, 0, st2["bdepth"]),
+            done_sum=st2["done_sum"],
+            done_cnt=st2["done_cnt"] + retire.astype(jnp.int32),
+            extra=join_extra(dict(
+                bank_pix=bank_pix, bank_sum=bank_sum, bank_cnt=bank_cnt,
+                slot=slot2, item_end=item_end2)),
+        )
+        return (st3, pool_ptr), n_alive
+
+    (state, _), n_alive = jax.lax.scan(
+        step, (state, jnp.int32(R)), jnp.arange(n_steps), length=n_steps)
+
+    # Final banking: ONE (R*K)-row scatter-add. Sum and count share one
+    # (.., 4) operand and all K slots share one index vector — XLA's
+    # scatter combiner otherwise merges per-slot scatters into a
+    # variadic scatter that trips an XLA:TPU emitter CHECK
+    # (scatter_emitter.cc: operand_indices.size() == 1).  Counts stay
+    # exact as f32 (< 2^24).
+    ex = split_extra(state["extra"])
+    if identity_pixels:
+        pix_to_row = lambda p: p
+    else:
+        # pixel id -> row in pixel_ids order (callers pass a permutation)
+        inv = jnp.zeros((width * height,), jnp.int32).at[pixel_ids].set(
+            jnp.arange(R, dtype=jnp.int32))
+        pix_to_row = lambda p: inv[p]
+    pk = ex["bank_pix"].reshape(-1)                      # (R*K,)
+    valid = pk >= 0
+    rows = jnp.where(valid, pix_to_row(jnp.maximum(pk, 0)), 0)
+    payload = jnp.concatenate(
+        [ex["bank_sum"].reshape(-1, 3),
+         ex["bank_cnt"].reshape(-1).astype(jnp.float32)[:, None]], axis=1)
+    acc = jnp.zeros((R, 4), jnp.float32).at[rows].add(
+        jnp.where(valid[:, None], payload, 0.0))
+    sum_img = jnp.nan_to_num(acc[:, :3], nan=0.0, posinf=0.0, neginf=0.0)
+    cnt = acc[:, 3].astype(jnp.int32)
+    if return_stats:
+        return sum_img, cnt, n_alive
+    return sum_img, cnt

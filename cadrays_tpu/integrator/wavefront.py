@@ -359,6 +359,7 @@ def build_wavefront(scene: SceneData, camera: Camera,
             bdepth=state["bdepth"] + 1,
             done_sum=state["done_sum"],
             done_cnt=state["done_cnt"],
+            **({"extra": state["extra"]} if "extra" in state else {}),
         )
         if params.sort_rays:
             # One wavefront-wide permutation per sorted bounce: live lanes
@@ -450,10 +451,13 @@ def render_sample(scene: SceneData, camera: Camera, params: RenderParams,
 
 
 def _pack_state(s):
-    """Wavefront state dict -> one (R, 26) f32 matrix (ints/bools encoded
-    losslessly) so a lane permutation is a single row gather."""
+    """Wavefront state dict -> one (R, 26[+E]) f32 matrix (ints/bools
+    encoded losslessly) so a lane permutation is a single row gather.
+    An optional `extra` (R, E) f32 field (persistent-pool bank slots,
+    integrator/persistent.py) rides the same permutation — the gather
+    cost is dominated by row count, not width."""
     bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)[:, None]
-    return jnp.concatenate([
+    cols = [
         s["origin"], s["direction"], s["throughput"], s["radiance"],
         s["sigma"], s["prev_pdf"][:, None],
         s["alive"].astype(jnp.float32)[:, None],
@@ -461,12 +465,15 @@ def _pack_state(s):
         bc(s["pix"]), bc(s["lane"]),
         bc(s["sid"]), bc(s["bdepth"]),
         s["done_sum"], bc(s["done_cnt"]),
-    ], axis=1)
+    ]
+    if "extra" in s:
+        cols.append(s["extra"])
+    return jnp.concatenate(cols, axis=1)
 
 
 def _unpack_state(m):
     bi = lambda c: jax.lax.bitcast_convert_type(m[:, c], jnp.int32)
-    return dict(
+    out = dict(
         origin=m[:, 0:3], direction=m[:, 3:6], throughput=m[:, 6:9],
         radiance=m[:, 9:12], sigma=m[:, 12:15], prev_pdf=m[:, 15],
         alive=m[:, 16] > 0.5, prev_delta=m[:, 17] > 0.5,
@@ -475,6 +482,9 @@ def _unpack_state(m):
         bdepth=bi(21),
         done_sum=m[:, 22:25], done_cnt=bi(25),
     )
+    if m.shape[1] > 26:
+        out["extra"] = m[:, 26:]
+    return out
 
 
 def _build_emissive_table(scene: SceneData) -> jnp.ndarray:

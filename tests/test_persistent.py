@@ -208,3 +208,92 @@ def test_progressive_persistent_mode(setup):
                             W, H, None, samples_per_step=8)
     # statistically the same estimator
     assert abs(img_p.mean() - np.asarray(base.image).mean()) < 0.03
+
+
+# ---------------------------------------------------------------------------
+# Work-pool scheduler (render_persistent_pool)
+# ---------------------------------------------------------------------------
+
+def test_pool_bitwise_equals_classic_at_full_completion(setup):
+    """With enough steps both schedulers complete the identical sample
+    set (same per-(pixel, sid) RNG streams), so the per-pixel SUMS are
+    bitwise equal — the pool only reorders which lane serves which
+    sample."""
+    from cadrays_tpu.integrator.params import RenderParams
+    from cadrays_tpu.integrator.persistent import (render_persistent,
+                                                   render_persistent_pool)
+
+    data, cam = setup
+    params = RenderParams(ray_depth=4)
+    W = H = 24
+    spp = 8
+    T = spp * 5
+    img1, cnt1 = render_persistent(data, cam, params, W, H, spp, T)
+    img2, cnt2 = render_persistent_pool(data, cam, params, W, H, spp, T)
+    assert np.array_equal(np.asarray(cnt1), np.full(W * H, spp))
+    assert np.array_equal(np.asarray(cnt2), np.full(W * H, spp))
+    assert np.array_equal(np.asarray(img1), np.asarray(img2))
+
+
+def test_pool_completes_more_at_tight_budget(setup):
+    """The pool's whole point: lanes whose quota finished adopt other
+    pixels' owed samples, so at a tight step budget total completions
+    beat the per-lane-quota scheduler."""
+    from cadrays_tpu.integrator.params import RenderParams
+    from cadrays_tpu.integrator.persistent import (render_persistent,
+                                                   render_persistent_pool)
+
+    data, cam = setup
+    params = RenderParams(ray_depth=5)
+    W = H = 32
+    spp = 16
+    T = spp * 3 - 8  # tight: classic leaves a ragged tail
+    _, c1 = render_persistent(data, cam, params, W, H, spp, T)
+    # granularity < spp so the pool holds adoptable items (g == spp
+    # degenerates to the classic one-item-per-lane schedule)
+    _, c2 = render_persistent_pool(data, cam, params, W, H, spp, T,
+                                   granularity=4)
+    t1, t2 = int(np.sum(np.asarray(c1))), int(np.sum(np.asarray(c2)))
+    assert t2 > t1, (t1, t2)
+    assert np.asarray(c2).max() <= spp  # never over-delivers a pixel
+
+
+def test_pool_differentiable(setup):
+    from cadrays_tpu.integrator.params import RenderParams
+    from cadrays_tpu.integrator.persistent import render_persistent_pool
+
+    data, cam = setup
+    params = RenderParams(ray_depth=3)
+    W = H = 12
+
+    def loss_fn(s):
+        img, cnt = render_persistent_pool(s, cam, params, W, H, 2, 9)
+        return jnp.sum(img) / (W * H * 2)
+
+    g = jax.grad(loss_fn, allow_int=True)(data)
+    kd = np.asarray(g.materials.kd)
+    assert np.isfinite(kd).all()
+    assert np.abs(kd).max() > 0.0
+
+
+def test_pool_subset_pixel_ids(setup):
+    """Non-identity pixel_ids (adaptive tiles / sharding): results come
+    back in pixel_ids order via the inverse row map."""
+    from cadrays_tpu.integrator.params import RenderParams
+    from cadrays_tpu.integrator.persistent import (render_persistent,
+                                                   render_persistent_pool)
+
+    data, cam = setup
+    params = RenderParams(ray_depth=3)
+    W = H = 16
+    rng = np.random.default_rng(0)
+    pids = jnp.asarray(rng.permutation(W * H)[: W * H // 2]
+                       .astype(np.int32))
+    spp = 4
+    T = spp * 5
+    img1, c1 = render_persistent(data, cam, params, W, H, spp, T,
+                                 pixel_ids=pids)
+    img2, c2 = render_persistent_pool(data, cam, params, W, H, spp, T,
+                                      pixel_ids=pids)
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    assert np.array_equal(np.asarray(img1), np.asarray(img2))
