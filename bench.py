@@ -53,6 +53,8 @@ def main() -> None:
                     help="samples per pool work item (pool mode)")
     ap.add_argument("--steps", type=int, default=None,
                     help="override the bounce-step budget T")
+    ap.add_argument("--quota", type=int, default=None,
+                    help="override the per-pixel sample quota (spp)")
     args = ap.parse_args()
     if args.quick:
         args.res, args.spp, args.chunks = 128, 2, 1
@@ -214,7 +216,7 @@ def main_persistent(args) -> None:
     R = (W * H) // args.chunks
     pids = jnp.arange(R, dtype=jnp.int32)
     fwd_only = args.fwd_only
-    spp = 4 if args.quick else 32
+    spp = 4 if args.quick else (args.quota or 32)
     T = args.steps if args.steps else spp * 3
     depth = args.depth
 

@@ -223,7 +223,16 @@ def render_persistent_pool(scene: SceneData, camera: Camera,
     items_per_px = -(-spp // g)
     n_items = R * items_per_px
     seed = params.seed
-    identity_pixels = bool(width * height == R)
+    # identity detection on the HOST when pixel_ids is concrete: the
+    # arange case (full frames, bench chunks) needs no row mapping at
+    # all, which also sidesteps an XLA:TPU variadic-scatter emitter
+    # CHECK that the scatter-built inverse map can trip
+    try:
+        identity_pixels = bool(
+            np.array_equal(np.asarray(pixel_ids),
+                           np.arange(R, dtype=np.int32)))
+    except Exception:  # traced pixel_ids: take the general path
+        identity_pixels = False
 
     def camera_rays(pix, sid):
         jx, jy, ul0, ul1 = crng.sample4(pix, sid, _DIM_PIXEL, seed)
@@ -309,10 +318,13 @@ def render_persistent_pool(scene: SceneData, camera: Camera,
 
         next_sid = st2["sid"] + 1
         regen_same = retire & (next_sid < item_end)
-        # item finished -> pop a new one from the pool
+        # item finished -> pop a new one from the pool. Exclusive prefix
+        # sum via associative_scan: jnp.cumsum lowers to a reduce-window
+        # on TPU whose cost at 262k lanes is material; the log-depth
+        # scan lowering is not.
         want_item = retire & (next_sid >= item_end)
-        rank = jnp.cumsum(want_item.astype(jnp.int32)) \
-            - want_item.astype(jnp.int32)
+        want_i32 = want_item.astype(jnp.int32)
+        rank = jax.lax.associative_scan(jnp.add, want_i32) - want_i32
         j = pool_ptr + rank
         have = want_item & (j < n_items)
         new_pix, new_lo, new_hi = item_assignment(j)
@@ -372,10 +384,14 @@ def render_persistent_pool(scene: SceneData, camera: Camera,
     if identity_pixels:
         pix_to_row = lambda p: p
     else:
-        # pixel id -> row in pixel_ids order (callers pass a permutation)
-        inv = jnp.zeros((width * height,), jnp.int32).at[pixel_ids].set(
-            jnp.arange(R, dtype=jnp.int32))
-        pix_to_row = lambda p: inv[p]
+        # pixel id -> row in pixel_ids order (callers pass a subset /
+        # permutation). Built scatter-free (argsort + searchsorted):
+        # a scatter-set here plus the banking scatter-add fuse into a
+        # variadic scatter that crashes the XLA:TPU scatter emitter.
+        order = jnp.argsort(pixel_ids)
+        sorted_ids = pixel_ids[order]
+        pix_to_row = lambda p: order[jnp.clip(
+            jnp.searchsorted(sorted_ids, p), 0, R - 1)]
     pk = ex["bank_pix"].reshape(-1)                      # (R*K,)
     valid = pk >= 0
     rows = jnp.where(valid, pix_to_row(jnp.maximum(pk, 0)), 0)
