@@ -223,15 +223,16 @@ def render_persistent_pool(scene: SceneData, camera: Camera,
     items_per_px = -(-spp // g)
     n_items = R * items_per_px
     seed = params.seed
-    # identity detection on the HOST when pixel_ids is concrete: the
-    # arange case (full frames, bench chunks) needs no row mapping at
-    # all, which also sidesteps an XLA:TPU variadic-scatter emitter
-    # CHECK that the scatter-built inverse map can trip
+    # The bank slots record the ROW (index into pixel_ids) a completed
+    # item belongs to, so results never need a pixel->row inversion and
+    # the final banking is a single direct scatter-add. The arange case
+    # (full frames, bench chunks) additionally skips the pixel-id gather
+    # at adoption time; detected on the HOST when pixel_ids is concrete.
     try:
         identity_pixels = bool(
             np.array_equal(np.asarray(pixel_ids),
                            np.arange(R, dtype=np.int32)))
-    except Exception:  # traced pixel_ids: take the general path
+    except Exception:  # traced pixel_ids (shard_map slices): gather
         identity_pixels = False
 
     def camera_rays(pix, sid):
@@ -242,28 +243,28 @@ def render_persistent_pool(scene: SceneData, camera: Camera,
                                     width, height)
 
     def item_assignment(j):
-        """Pool item j -> (pixel, sid_lo, sid_hi). Safe for any j (out of
-        range clamps; callers mask)."""
+        """Pool item j -> (row, pixel, sid_lo, sid_hi). Safe for any j
+        (out of range clamps; callers mask)."""
         jc = jnp.clip(j, 0, n_items - 1)
-        px_idx = jc % R
-        pix = (px_idx if identity_pixels else pixel_ids[px_idx]) \
+        row = (jc % R).astype(jnp.int32)
+        pix = (row if identity_pixels else pixel_ids[row]) \
             .astype(jnp.int32)
         lo = (jc // R).astype(jnp.uint32) * jnp.uint32(g)
         hi = jnp.minimum(lo + jnp.uint32(g), jnp.uint32(spp))
         sb = jnp.asarray(sid_base, jnp.uint32)
-        return pix, sb + lo, sb + hi
+        return row, pix, sb + lo, sb + hi
 
     state, bounce_fn = build_wavefront(scene, camera, params, width,
                                        height,
                                        jnp.asarray(sid_base, jnp.uint32),
                                        pixel_ids)
     # initial items: lane i owns item i
-    pix0, lo0, hi0 = item_assignment(jnp.arange(R, dtype=jnp.int32))
+    row0, pix0, lo0, hi0 = item_assignment(jnp.arange(R, dtype=jnp.int32))
     o0, d0 = camera_rays(pix0, lo0)
     bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
     extra0 = jnp.concatenate([
-        bc(jnp.where(jnp.arange(K)[None, :] == 0, pix0[:, None], -1)
-           .astype(jnp.int32)),                       # bank_pix (K)
+        bc(jnp.where(jnp.arange(K)[None, :] == 0, row0[:, None], -1)
+           .astype(jnp.int32)),                       # bank_row (K)
         jnp.zeros((R, 3 * K), jnp.float32),           # bank_sum (K,3)
         bc(jnp.zeros((R, K), jnp.int32)),             # bank_cnt (K)
         bc(jnp.zeros((R, 1), jnp.int32)),             # cur slot
@@ -275,7 +276,7 @@ def render_persistent_pool(scene: SceneData, camera: Camera,
     def split_extra(e):
         i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
         return dict(
-            bank_pix=i32(e[:, 0:K]),
+            bank_row=i32(e[:, 0:K]),
             bank_sum=e[:, K:4 * K].reshape(-1, K, 3),
             bank_cnt=i32(e[:, 4 * K:5 * K]),
             slot=i32(e[:, 5 * K]),
@@ -284,7 +285,7 @@ def render_persistent_pool(scene: SceneData, camera: Camera,
 
     def join_extra(d):
         return jnp.concatenate([
-            bc(d["bank_pix"]),
+            bc(d["bank_row"]),
             d["bank_sum"].reshape(-1, 3 * K),
             bc(d["bank_cnt"]),
             bc(d["slot"][:, None]),
@@ -327,7 +328,7 @@ def render_persistent_pool(scene: SceneData, camera: Camera,
         rank = jax.lax.associative_scan(jnp.add, want_i32) - want_i32
         j = pool_ptr + rank
         have = want_item & (j < n_items)
-        new_pix, new_lo, new_hi = item_assignment(j)
+        new_row, new_pix, new_lo, new_hi = item_assignment(j)
         pool_ptr = pool_ptr + jnp.sum(want_item.astype(jnp.int32))
 
         # slot bookkeeping: adopting a new pixel advances the slot; a
@@ -337,9 +338,9 @@ def render_persistent_pool(scene: SceneData, camera: Camera,
         slot_ok = new_slot < K
         adopt = have & slot_ok
         slot2 = jnp.where(adopt, new_slot, slot)
-        bank_pix = jnp.where(
+        bank_row = jnp.where(
             adopt[:, None] & (jnp.arange(K)[None, :] == new_slot[:, None]),
-            new_pix[:, None], ex["bank_pix"])
+            new_row[:, None], ex["bank_row"])
 
         start = regen_same | adopt
         pix2 = jnp.where(adopt, new_pix, st2["pix"])
@@ -366,7 +367,7 @@ def render_persistent_pool(scene: SceneData, camera: Camera,
             done_sum=st2["done_sum"],
             done_cnt=st2["done_cnt"] + retire.astype(jnp.int32),
             extra=join_extra(dict(
-                bank_pix=bank_pix, bank_sum=bank_sum, bank_cnt=bank_cnt,
+                bank_row=bank_row, bank_sum=bank_sum, bank_cnt=bank_cnt,
                 slot=slot2, item_end=item_end2)),
         )
         return (st3, pool_ptr), n_alive
@@ -374,27 +375,16 @@ def render_persistent_pool(scene: SceneData, camera: Camera,
     (state, _), n_alive = jax.lax.scan(
         step, (state, jnp.int32(R)), jnp.arange(n_steps), length=n_steps)
 
-    # Final banking: ONE (R*K)-row scatter-add. Sum and count share one
-    # (.., 4) operand and all K slots share one index vector — XLA's
-    # scatter combiner otherwise merges per-slot scatters into a
-    # variadic scatter that trips an XLA:TPU emitter CHECK
-    # (scatter_emitter.cc: operand_indices.size() == 1).  Counts stay
-    # exact as f32 (< 2^24).
+    # Final banking: ONE (R*K)-row scatter-add of the banked ROWS. Sum
+    # and count share one (.., 4) operand and all K slots share one
+    # index vector — XLA's scatter combiner otherwise merges per-slot
+    # scatters into a variadic scatter that trips an XLA:TPU emitter
+    # CHECK (scatter_emitter.cc: operand_indices.size() == 1).  Counts
+    # stay exact as f32 (< 2^24).
     ex = split_extra(state["extra"])
-    if identity_pixels:
-        pix_to_row = lambda p: p
-    else:
-        # pixel id -> row in pixel_ids order (callers pass a subset /
-        # permutation). Built scatter-free (argsort + searchsorted):
-        # a scatter-set here plus the banking scatter-add fuse into a
-        # variadic scatter that crashes the XLA:TPU scatter emitter.
-        order = jnp.argsort(pixel_ids)
-        sorted_ids = pixel_ids[order]
-        pix_to_row = lambda p: order[jnp.clip(
-            jnp.searchsorted(sorted_ids, p), 0, R - 1)]
-    pk = ex["bank_pix"].reshape(-1)                      # (R*K,)
+    pk = ex["bank_row"].reshape(-1)                      # (R*K,)
     valid = pk >= 0
-    rows = jnp.where(valid, pix_to_row(jnp.maximum(pk, 0)), 0)
+    rows = jnp.where(valid, pk, 0)
     payload = jnp.concatenate(
         [ex["bank_sum"].reshape(-1, 3),
          ex["bank_cnt"].reshape(-1).astype(jnp.float32)[:, None]], axis=1)
