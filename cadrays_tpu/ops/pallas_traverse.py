@@ -131,7 +131,8 @@ def _traverse_kernel(nodes_ref, nodei_ref, tris_ref, rays_ref, tm_ref,
             ray_open = lane_live & (trif < 0)
         else:
             ray_open = lane_live
-        ray_hit = (jnp.maximum(t_near, 0.0) <= jnp.minimum(t_far, t)) \
+        ray_hit = (jnp.maximum(t_near * 0.9999996, 0.0)
+                   <= jnp.minimum(t_far * 1.0000004, t)) \
             & ray_open
         blk_hit = jnp.any(ray_hit)
 

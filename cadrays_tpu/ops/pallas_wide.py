@@ -74,8 +74,12 @@ def fits_wide(geom: GeometryData) -> bool:
         return False  # placeholder: no wide tree built
     if not _stack_fits(geom):
         return False
+    # x2 on whole-table operands: the Mosaic scoped-vmem allocator
+    # double-buffers pallas inputs, and exceeding the ~16 MB scoped
+    # limit is a compile-time abort, not a fallback (observed at 19.5k
+    # wide nodes before the leaf-64 retune)
     need = (geom.wboxes.size + geom.wmeta.size + geom.winst.size
-            + _eff_tris(geom).size) * 4 + BLOCK * 4 * 24
+            + _eff_tris(geom).size) * 4 * 2 + BLOCK * 4 * 24
     return need < _VMEM_BUDGET
 
 
@@ -89,7 +93,7 @@ def fits_wide_hbm(geom: GeometryData) -> bool:
     if not _stack_fits(geom):
         return False
     need = (geom.wboxes.size + geom.wmeta.size + geom.winst.size
-            + geom.worder.size) * 4 + BLOCK * 4 * 24
+            + geom.worder.size) * 4 * 2 + BLOCK * 4 * 24
     return need < _VMEM_BUDGET
 
 
@@ -112,7 +116,10 @@ def _slab8(brow, ox, oy, oz, ix, iy, iz, t_cap, k):
     t_far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                     jnp.maximum(ty0, ty1)),
                         jnp.maximum(tz0, tz1))
-    t_near = jnp.maximum(t_near, 0.0)
+    # conservative widening (~4 ulp): rounding must never cull a grazed
+    # box (ops/traverse.py _BOX_SHRINK note)
+    t_near = jnp.maximum(t_near * 0.9999996, 0.0)
+    t_far = t_far * 1.0000004
     hit = t_near <= jnp.minimum(t_far, t_cap)
     return hit, jnp.where(hit, t_near, _INF)
 
@@ -155,22 +162,36 @@ _BF16_SLABS = bool(os.environ.get("CADRAYS_WIDE_BF16", ""))
 
 def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
                  instanced: bool, pops: int, ordered: bool,
-                 hbm_tris: bool = False):
+                 hbm_tris: bool = False, seeded: bool = False):
     """Build the kernel body. Refs (in order):
-    wboxes, wmeta, worder, [winst, instinv], tris, rays, tm -> out,
-    scratch: stack (SMEM), sp (SMEM), [inst stack (SMEM)],
+    wboxes, wmeta, worder, [winst, instinv], tris, rays, tm, [start] ->
+    out, scratch: stack (SMEM), sp (SMEM), [inst stack (SMEM)],
     [tri buffer (VMEM) + DMA sem when hbm_tris].
+
+    seeded: the per-block SMEM `start` row [meta0, inst0, meta1, inst1]
+    replaces the root as the initial stack — the instance-rebinned
+    traversal (trace_wide_rebinned) launches each block directly into
+    its chosen instance's BLAS subtree. meta == 0x7FFFFFFF slots are
+    empty (meta0 empty = dead block).
     """
 
     def kernel(*refs):
-        tbuf_ref = dsem_ref = None
+        tbuf_ref = dsem_ref = start_ref = None
+        ns = 1 if seeded else 0
         if instanced:
             (wboxes_ref, wmeta_ref, worder_ref, winst_ref, instinv_ref,
-             wdelta_ref, tris_ref, rays_ref, tm_ref, out_ref, stack_ref,
-             sp_ref, istk_ref, tstk_ref, thi_ref, *extra) = refs
+             wdelta_ref, tris_ref, rays_ref, tm_ref) = refs[:9]
+            if seeded:
+                start_ref = refs[9]
+            (out_ref, stack_ref, sp_ref, istk_ref, tstk_ref, thi_ref,
+             *extra) = refs[9 + ns:]
         else:
-            (wboxes_ref, wmeta_ref, worder_ref, tris_ref, rays_ref, tm_ref,
-             out_ref, stack_ref, sp_ref, tstk_ref, thi_ref, *extra) = refs
+            (wboxes_ref, wmeta_ref, worder_ref, tris_ref, rays_ref,
+             tm_ref) = refs[:6]
+            if seeded:
+                start_ref = refs[6]
+            (out_ref, stack_ref, sp_ref, tstk_ref, thi_ref,
+             *extra) = refs[6 + ns:]
             winst_ref = instinv_ref = istk_ref = None
         if hbm_tris:
             tbuf_ref, dsem_ref, pend_ref, ptmin_ref = extra
@@ -197,9 +218,27 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
         out_ref[2, :] = jnp.zeros_like(tm)
         out_ref[3, :] = jnp.zeros_like(tm)
 
-        stack_ref[0] = jnp.int32(-2)
-        sp_ref[0] = jnp.int32(1)
-        tstk_ref[0] = jnp.float32(0.0)
+        if seeded:
+            pid = pl.program_id(0)
+            m0 = start_ref[pid, 0]
+            m1 = start_ref[pid, 2]
+            stack_ref[0] = m0
+            tstk_ref[0] = jnp.float32(0.0)
+            stack_ref[1] = jnp.where(m1 != jnp.int32(0x7FFFFFFF), m1,
+                                     jnp.int32(-2))
+            tstk_ref[1] = jnp.float32(0.0)
+            if instanced:
+                istk_ref[0] = start_ref[pid, 1]
+                istk_ref[1] = start_ref[pid, 3]
+            sp_ref[0] = jnp.where(
+                m0 == jnp.int32(0x7FFFFFFF), jnp.int32(0),
+                1 + (m1 != jnp.int32(0x7FFFFFFF)).astype(jnp.int32))
+        else:
+            stack_ref[0] = jnp.int32(-2)
+            sp_ref[0] = jnp.int32(1)
+            tstk_ref[0] = jnp.float32(0.0)
+            if instanced:
+                istk_ref[0] = jnp.int32(-1)
         if hbm_tris:
             pend_ref[0] = jnp.int32(-1)
         # cull threshold cache: max over relevant lanes of current best t.
@@ -207,8 +246,6 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
         # a per-pop max-reduce measured +3.4 ms on the L16 sweep.
         thi_ref[0] = jnp.max(jnp.where(lane_live,
                                        jnp.minimum(tm, 1e30), 0.0))
-        if instanced:
-            istk_ref[0] = jnp.int32(-1)
 
         if ordered:
             # block direction octant (world space): picks the per-node
@@ -525,8 +562,13 @@ def _make_kernel(*, any_hit: bool, max_leaf: int, width: int,
 def trace_wide(geom: GeometryData, origin, direction, t_max,
                any_hit: bool = False, interpret: bool = False,
                pops: int = 1, block: int | None = None,
-               ordered: bool = True, hbm_tris: bool = False):
-    """Wide-BVH traversal; contract of ops.traverse.trace."""
+               ordered: bool = True, hbm_tris: bool = False,
+               start=None):
+    """Wide-BVH traversal; contract of ops.traverse.trace.
+
+    start: optional (nb, 4) int32 per-block stack seeds
+    [meta0, inst0, meta1, inst1] (0x7FFFFFFF = empty) — the rebinned
+    traversal enters each block directly at its instance's BLAS."""
     R = origin.shape[0]
     B = block if block is not None else BLOCK
     nb = -(-R // B)
@@ -576,6 +618,12 @@ def trace_wide(geom: GeometryData, origin, direction, t_max,
     ]
     args += [_eff_tris_hbm(geom) if hbm_tris else _eff_tris(geom),
              rays, tm]
+    seeded = start is not None
+    if seeded:
+        # full (nb, 4) SMEM array, indexed by program_id in the kernel
+        # (Mosaic rejects blocked SMEM specs with minor dims < (8, 128))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(start, jnp.int32))
 
     scratch = [pltpu.SMEM((STACK_CAP,), jnp.int32),
                pltpu.SMEM((1,), jnp.int32)]
@@ -592,7 +640,7 @@ def trace_wide(geom: GeometryData, origin, direction, t_max,
     out = pl.pallas_call(
         _make_kernel(any_hit=any_hit, max_leaf=max_leaf, width=width,
                      instanced=instanced, pops=pops, ordered=ordered,
-                     hbm_tris=hbm_tris),
+                     hbm_tris=hbm_tris, seeded=seeded),
         grid=(nb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((4, B), lambda i: (0, i),
@@ -605,3 +653,151 @@ def trace_wide(geom: GeometryData, origin, direction, t_max,
     t = out[0, :R]
     tri = out[1, :R].astype(jnp.int32)
     return {"t": t, "tri": tri, "u": out[2, :R], "v": out[3, :R]}
+
+
+# ===========================================================================
+# Per-ray TLAS-candidate traversal with instance-rebinned BLAS walks
+# ===========================================================================
+#
+# The packet walk above degrades on assemblies of many DISTINCT parts
+# when the rays inside a block choose different parts: the block must
+# walk the UNION of every instance any lane could hit, and most pops
+# serve a minority of lanes. This driver restores per-ray pruning while
+# keeping every kernel launch dense (round-4 design, ROOFLINE.md):
+#
+#   1. candidate pass: every ray slab-tests ALL instance world AABBs
+#      (I is small — dozens of parts; (R, I) dense VPU math, no tree);
+#   2. rounds: each ray picks its nearest untested candidate instance
+#      whose AABB entry distance beats its current best t; rays are
+#      sorted by (instance, coherence key) so blocks are (nearly)
+#      instance-homogeneous, and the wide kernel launches each block
+#      DIRECTLY into its instance's BLAS via per-block stack seeds —
+#      packets walk one part's subtree at a time with no TLAS pops and
+#      no cross-part union;
+#   3. repeat while any ray has a candidate left (tightening t culls
+#      most instances after the first round).
+#
+# Boundary blocks can span two instances; both seeds are pushed and both
+# subtrees are walked by the whole block — a correct over-approximation
+# (any reported hit is a real intersection; chosen-candidate bookkeeping
+# only marks the ray's own choice as tested).
+
+
+def trace_wide_rebinned(geom: GeometryData, origin, direction, t_max,
+                        any_hit: bool = False, block: int | None = None,
+                        max_rounds: int = 0, interpret: bool = False):
+    """Candidate/rebinned traversal; contract of ops.traverse.trace.
+    Requires instanced geometry with `inst_bridge` built
+    (scene/instances.py). max_rounds=0 runs until no candidates remain.
+    """
+    from cadrays_tpu.ops.traverse import _coherence_key
+
+    assert geom.instanced and int(geom.inst_bridge.shape[0]) > 1 or \
+        int(geom.inst_bridge[0]) != 0x7FFFFFFF, \
+        "rebinned traversal needs instance candidate tables"
+    R = origin.shape[0]
+    B = block if block is not None else BLOCK
+    nb = -(-R // B)
+    Rp = nb * B
+    I = geom.inst_lo.shape[0]
+    INF = jnp.float32(_INF)
+
+    tm0 = jnp.minimum(jnp.broadcast_to(t_max, (R,)), 1e30)
+
+    # ---- candidate pass: (R, I) slab tests ------------------------------
+    inv_d = 1.0 / jnp.where(jnp.abs(direction) < 1e-12,
+                            jnp.where(direction >= 0, 1e-12, -1e-12),
+                            direction)
+    t0 = (geom.inst_lo[None] - origin[:, None]) * inv_d[:, None]
+    t1 = (geom.inst_hi[None] - origin[:, None]) * inv_d[:, None]
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    t_near = jnp.maximum(t_near, 0.0)
+    cand = (t_near <= jnp.minimum(t_far, tm0[:, None]))  # (R, I)
+    t_near = jnp.where(cand, t_near, INF)
+
+    key_coh = _coherence_key(geom, origin, direction)
+
+    state = dict(
+        t=tm0,
+        tri=jnp.full((R,), -1, jnp.int32),
+        u=jnp.zeros((R,), jnp.float32),
+        v=jnp.zeros((R,), jnp.float32),
+        tested=~cand,
+    )
+
+    def pending(s):
+        live = s["t"] > 0.0
+        if any_hit:
+            live = live & (s["tri"] < 0)
+        return (~s["tested"]) & (t_near < s["t"][:, None]) \
+            & live[:, None]
+
+    def cond(carry):
+        s, r = carry
+        ok = jnp.any(pending(s))
+        if max_rounds:
+            ok = ok & (r < max_rounds)
+        return ok
+
+    def body(carry):
+        s, r = carry
+        pend = pending(s)
+        have = jnp.any(pend, axis=1)
+        choice = jnp.argmin(jnp.where(pend, t_near, INF), axis=1) \
+            .astype(jnp.int32)
+        # sort: dead rays (no candidate) sink to tail blocks with tm=0
+        key = jnp.where(have, choice, I).astype(jnp.int32) * (1 << 15) \
+            + (key_coh & 0x7FFF)
+        perm = jnp.argsort(key)
+        o_s = origin[perm]
+        d_s = direction[perm]
+        tm_s = jnp.where(have[perm], s["t"][perm], 0.0)
+        c_s = jnp.pad(jnp.where(have, choice, -1)[perm], (0, Rp - R),
+                      constant_values=-1)
+
+        cb = c_s.reshape(nb, B)
+        # per-block seeds: the MIN and MAX live choices (sorted order
+        # makes residents a contiguous instance range). A block spanning
+        # 3+ tiny segments only walks its two extremes this round — the
+        # middle lanes' choices stay PENDING (tested-marking below is
+        # seed-gated), so they retry next round; progress is guaranteed
+        # because each nonempty block tests at least its min choice.
+        i0 = jnp.max(jnp.where(cb >= 0, cb, -1), axis=1)
+        i1 = jnp.min(jnp.where(cb >= 0, cb, I + 1), axis=1)
+        sent = jnp.int32(0x7FFFFFFF)
+        m0 = jnp.where(i0 >= 0, geom.inst_bridge[jnp.maximum(i0, 0)],
+                       sent)
+        m1 = jnp.where((i1 <= I) & (i1 != i0),
+                       geom.inst_bridge[jnp.clip(i1, 0, I - 1)], sent)
+        start = jnp.stack(
+            [m0, jnp.maximum(i0, 0), m1,
+             jnp.clip(i1, 0, I - 1)], axis=1)
+
+        res = trace_wide(geom, o_s, d_s, tm_s, any_hit=any_hit,
+                         block=B, hbm_tris=True, start=start,
+                         interpret=interpret)
+        inv = jnp.argsort(perm)
+        rt = res["t"][inv]
+        rtri = res["tri"][inv]
+        better = (rtri >= 0) & (rt < s["t"])
+        # seed-gated tested mark, scattered back to original ray order
+        blk = jnp.arange(Rp, dtype=jnp.int32) // B
+        covered_s = (c_s == i0[blk]) | (c_s == i1[blk])
+        covered = covered_s[:R][inv]
+        mark = have & covered
+        s2 = dict(
+            t=jnp.where(better, rt, s["t"]),
+            tri=jnp.where(better, rtri, s["tri"]),
+            u=jnp.where(better, res["u"][inv], s["u"]),
+            v=jnp.where(better, res["v"][inv], s["v"]),
+            tested=s["tested"]
+            | (mark[:, None]
+               & (jnp.arange(I, dtype=jnp.int32)[None]
+                  == choice[:, None])),
+        )
+        return s2, r + 1
+
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    return {"t": state["t"], "tri": state["tri"], "u": state["u"],
+            "v": state["v"]}

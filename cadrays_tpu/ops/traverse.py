@@ -27,6 +27,15 @@ from cadrays_tpu.scene.flatten import GeometryData
 MAX_LEAF = 4  # must match geometry/bvh.py build
 
 _EPS = 1e-7
+# Conservative slab widening (robust BVH traversal): XLA lowers the
+# slab arithmetic differently per shape (FMA contraction), so a box a
+# ray GRAZES can round to a miss in one walker and a hit in another —
+# observed as a 1/512 closer-hit miss on an overlapping instanced
+# fixture. Shrinking t_near / growing t_far by ~4 ulp makes every
+# walker a conservative superset of the exact test (a few false
+# positives cost extra leaf tests; a false negative would lose a hit).
+_BOX_SHRINK = 1.0 - 4e-7
+_BOX_GROW = 1.0 + 4e-7
 _LEAF_MASK = (1 << 24) - 1
 
 
@@ -238,8 +247,8 @@ def trace_gather(geom: GeometryData, origin, direction, t_max,
         # slab test against the current best t
         t0 = (bmin - o_l) * inv_d_l
         t1 = (bmax - o_l) * inv_d_l
-        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1) * _BOX_SHRINK
+        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1) * _BOX_GROW
         hit_box = (jnp.maximum(t_near, 0.0) <= jnp.minimum(t_far, s["t"])) \
             & alive
         at_leaf = hit_box & is_leaf
@@ -373,8 +382,8 @@ def trace_stream(geom: GeometryData, origin, direction, t_max,
         # dense slab test: every ray in every block vs its block's node
         t0 = (bmin - o_l) * inv_d_l
         t1 = (bmax - o_l) * inv_d_l
-        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1) * _BOX_SHRINK
+        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1) * _BOX_GROW
         ray_hit_box = (jnp.maximum(t_near, 0.0)
                        <= jnp.minimum(t_far, s["t"])) & ray_open
         blk_hit = jnp.any(ray_hit_box, axis=-1) & blk_alive

@@ -105,6 +105,18 @@ class GeometryData:
         default_factory=lambda: jnp.zeros((1, 128), jnp.float32))
     wdelta: jnp.ndarray = flax.struct.field(
         default_factory=lambda: jnp.zeros((1,), jnp.int32))
+    # --- per-instance TLAS candidate data (round 5) ----------------------
+    # World-space instance AABBs + each instance's wide-tree bridge slot
+    # (the meta the TLAS pushes when entering it) for the per-ray
+    # candidate / instance-rebinned traversal (ops/pallas_wide.py:
+    # trace_wide_rebinned). Placeholders (shape[0] == 1 with sentinel
+    # bridge) mean "not built".
+    inst_lo: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((1, 3), jnp.float32))
+    inst_hi: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((1, 3), jnp.float32))
+    inst_bridge: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.full((1,), 0x7FFFFFFF, jnp.int32))
 
     @property
     def num_triangles(self) -> int:
@@ -335,7 +347,7 @@ def flatten_parts(
     # CAD scale trades leaf size down: the HBM-streamed kernel DMAs one
     # max_leaf-row window per merged leaf, and the fully-unrolled leaf
     # body at 64 blows past the remote-compile payload cap
-    wl = 64 if indices.shape[0] <= _HBM_TRIS_THRESHOLD else 16
+    wl = 64
     wide = build_wide_bvh(bvh.node_min, bvh.node_max, bvh.skip,
                           bvh.first, bvh.count, wide_leaf=wl)
 

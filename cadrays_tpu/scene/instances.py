@@ -273,7 +273,7 @@ def build_instanced(
 
     bridge_mask = np.zeros(Nw, bool)
     bridge_mask[leaf_ids] = True  # TLAS leaves became bridges
-    wl = 64 if Tw <= _HBM_TRIS_THRESHOLD else 16
+    wl = 64
     wide = build_wide_bvh(w_min, w_max, w_skip, w_first, w_count,
                           descend=w_desc, node_inst=w_inst,
                           bridge=bridge_mask, wide_leaf=wl)
@@ -317,6 +317,9 @@ def build_instanced(
                    if wtris_packed.shape[0] > _HBM_TRIS_THRESHOLD
                    else jnp.zeros((1, 128), jnp.float32)),
         wdelta=jnp.asarray(wdelta),
+        inst_lo=jnp.asarray(inst_lo),
+        inst_hi=jnp.asarray(inst_hi),
+        inst_bridge=jnp.asarray(_bridge_metas(wide, n_inst)),
     )
 
     mat_table = concat_materials(list(materials))
@@ -330,6 +333,20 @@ def build_instanced(
         emissive=emissive,
         textures=textures if textures is not None else _empty_textures(),
     )
+
+
+def _bridge_metas(wide, n_inst: int) -> np.ndarray:
+    """Per-instance wide-tree entry: the (meta) slot value the TLAS
+    pushes when a packet enters instance i — each TLAS leaf holds one
+    instance, so every instance appears in exactly one (node, slot) of
+    `winst` (shared-BLAS groups repeat the same meta, which is fine).
+    Consumed by the per-ray candidate traversal (trace_wide_rebinned)."""
+    out = np.full(n_inst, 0x7FFFFFFF, np.int32)
+    wi = np.asarray(wide.winst)
+    wm = np.asarray(wide.wmeta)
+    sel = wi >= 0
+    out[wi[sel]] = wm[sel]
+    return out
 
 
 def _build_tlas(lo: np.ndarray, hi: np.ndarray) -> ThreadedBVH:

@@ -200,3 +200,22 @@ def test_hbm_streamed_pipeline_matches_stream_backend():
         env=env, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "HBM PIPELINE OK" in r.stdout, r.stdout + r.stderr
+
+
+@pytest.mark.slow
+def test_rebinned_traversal_matches_reference():
+    """Per-ray TLAS-candidate / instance-rebinned traversal
+    (trace_wide_rebinned): seeds each block directly into its chosen
+    instance's BLAS. Interpret-mode compile is heavy, so the check runs
+    in a fresh subprocess like the HBM pipeline one."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "_rebinned_check.py")],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "REBINNED OK" in r.stdout, r.stdout + r.stderr
