@@ -201,9 +201,20 @@ def main():
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "cad_scale.json")
+    doc = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            try:
+                doc = json.load(f)
+            except Exception:
+                doc = {}
+    keep = doc.get("distinct_parts")  # written by cad_distinct.py
+    doc = dict(results)
+    if keep is not None:
+        doc["distinct_parts"] = keep
     with open(out, "w") as f:
-        json.dump(results, f, indent=1)
-    print(json.dumps(results))
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":
