@@ -159,15 +159,23 @@ def spherical_to_dir(theta: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def transform_points(m: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """Apply a (..., 4, 4) affine matrix to (..., 3) points."""
-    return p @ m[..., :3, :3].mT + m[..., :3, 3]
+    """Apply a (..., 4, 4) affine matrix to (..., 3) points.
+
+    precision="float32": XLA dispatches batched f32 matmuls/einsums to
+    reduced-precision GEMM paths by default (observed: bf16-rounded
+    coordinates at batch>=8 even on the CPU backend), which is
+    catastrophic for geometry — every transform in the repo pins full
+    f32."""
+    return jnp.matmul(p, m[..., :3, :3].mT,
+                      precision="float32") + m[..., :3, 3]
 
 
 def transform_dirs(m: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Apply the linear part of a (..., 4, 4) matrix to (..., 3) directions."""
-    return d @ m[..., :3, :3].mT
+    return jnp.matmul(d, m[..., :3, :3].mT, precision="float32")
 
 
 def transform_normals(m_inv: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """Transform normals by the inverse-transpose: pass the *inverse* matrix."""
-    return normalize(n @ m_inv[..., :3, :3])
+    return normalize(jnp.matmul(n, m_inv[..., :3, :3],
+                                precision="float32"))

@@ -520,9 +520,9 @@ def _sample_emissive(scene: SceneData, em_tab, p, u):
     if g.instanced:
         tf = g.inst_tf[rows[:, 12].astype(jnp.int32)]  # (R, 3, 4)
         lin = tf[..., :3]
-        p0 = jnp.einsum("rij,rj->ri", lin, p0) + tf[..., 3]
-        p1 = jnp.einsum("rij,rj->ri", lin, p1) + tf[..., 3]
-        p2 = jnp.einsum("rij,rj->ri", lin, p2) + tf[..., 3]
+        p0 = jnp.einsum("rij,rj->ri", lin, p0, precision="float32") + tf[..., 3]
+        p1 = jnp.einsum("rij,rj->ri", lin, p1, precision="float32") + tf[..., 3]
+        p2 = jnp.einsum("rij,rj->ri", lin, p2, precision="float32") + tf[..., 3]
     # uniform point on triangle
     su = jnp.sqrt(jnp.clip(u[1], 1e-12, 1.0))
     b0 = 1.0 - su

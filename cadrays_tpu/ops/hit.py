@@ -40,8 +40,8 @@ def hit_attributes(geom: GeometryData, origin, direction, tri):
     if geom.instanced:
         inv = geom.inst_inv[geom.tri_inst[tid]]  # (R, 3, 4)
         lin = inv[..., :3]
-        o_l = jnp.einsum("rij,rj->ri", lin, origin) + inv[..., 3]
-        d_l = jnp.einsum("rij,rj->ri", lin, direction)
+        o_l = jnp.einsum("rij,rj->ri", lin, origin, precision="float32") + inv[..., 3]
+        d_l = jnp.einsum("rij,rj->ri", lin, direction, precision="float32")
     else:
         o_l, d_l = origin, direction
 
@@ -70,8 +70,8 @@ def hit_attributes(geom: GeometryData, origin, direction, tri):
 
     if geom.instanced:
         # normals: n_world = n_obj @ M^-1 (row-vector inverse-transpose)
-        n_geom = vm.normalize(jnp.einsum("rj,rji->ri", n_geom_l, lin))
-        n_shade = vm.normalize(jnp.einsum("rj,rji->ri", n_shade_l, lin))
+        n_geom = vm.normalize(jnp.einsum("rj,rji->ri", n_geom_l, lin, precision="float32"))
+        n_shade = vm.normalize(jnp.einsum("rj,rji->ri", n_shade_l, lin, precision="float32"))
     else:
         n_geom = vm.normalize(n_geom_l)
         n_shade = vm.normalize(n_shade_l)
@@ -219,8 +219,8 @@ def hit_attributes_packed(geom: GeometryData, table, origin, direction, tri):
         inst = rows[:, -1].astype(jnp.int32)
         inv = geom.inst_inv[inst]  # (R, 3, 4)
         lin = inv[..., :3]
-        o_l = jnp.einsum("rij,rj->ri", lin, origin) + inv[..., 3]
-        d_l = jnp.einsum("rij,rj->ri", lin, direction)
+        o_l = jnp.einsum("rij,rj->ri", lin, origin, precision="float32") + inv[..., 3]
+        d_l = jnp.einsum("rij,rj->ri", lin, direction, precision="float32")
     else:
         o_l, d_l = origin, direction
 
@@ -242,8 +242,8 @@ def hit_attributes_packed(geom: GeometryData, table, origin, direction, tri):
     n_shade_l = w[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2
 
     if geom.instanced:
-        n_geom = vm.normalize(jnp.einsum("rj,rji->ri", n_geom_l, lin))
-        n_shade = vm.normalize(jnp.einsum("rj,rji->ri", n_shade_l, lin))
+        n_geom = vm.normalize(jnp.einsum("rj,rji->ri", n_geom_l, lin, precision="float32"))
+        n_shade = vm.normalize(jnp.einsum("rj,rji->ri", n_shade_l, lin, precision="float32"))
     else:
         n_geom = vm.normalize(n_geom_l)
         n_shade = vm.normalize(n_shade_l)

@@ -27,13 +27,14 @@ from cadrays_tpu.scene.flatten import GeometryData
 MAX_LEAF = 4  # must match geometry/bvh.py build
 
 _EPS = 1e-7
-# Conservative slab widening (robust BVH traversal): XLA lowers the
-# slab arithmetic differently per shape (FMA contraction), so a box a
-# ray GRAZES can round to a miss in one walker and a hit in another —
-# observed as a 1/512 closer-hit miss on an overlapping instanced
-# fixture. Shrinking t_near / growing t_far by ~4 ulp makes every
-# walker a conservative superset of the exact test (a few false
-# positives cost extra leaf tests; a false negative would lose a hit).
+# Conservative slab widening (robust BVH traversal): lowering-dependent
+# rounding (fusion/reassociation varies with array shape) can flip a
+# grazing box test, losing a closer hit one walker finds. Shrinking
+# t_near / growing t_far by ~4 ulp makes every walker a conservative
+# superset of the exact test — a few false-positive leaf tests, never a
+# lost hit. (The 1/512 closer-hit miss that motivated this turned out
+# to be XLA downcasting batched transform einsums to reduced precision,
+# now pinned to f32 everywhere; the widening stays as cheap insurance.)
 _BOX_SHRINK = 1.0 - 4e-7
 _BOX_GROW = 1.0 + 4e-7
 _LEAF_MASK = (1 << 24) - 1
@@ -235,11 +236,11 @@ def trace_gather(geom: GeometryData, origin, direction, t_max,
             world = (inst < 0)[:, None]
             o_l = jnp.where(
                 world, origin,
-                jnp.einsum("rij,rj->ri", inv[:, :, :3], origin)
+                jnp.einsum("rij,rj->ri", inv[:, :, :3], origin, precision="float32")
                 + inv[:, :, 3])
             d_l = jnp.where(
                 world, direction,
-                jnp.einsum("rij,rj->ri", inv[:, :, :3], direction))
+                jnp.einsum("rij,rj->ri", inv[:, :, :3], direction, precision="float32"))
             inv_d_l = safe_inv_dir(d_l)
         else:
             o_l, d_l, inv_d_l = origin, direction, inv_dir
@@ -366,10 +367,10 @@ def trace_stream(geom: GeometryData, origin, direction, t_max,
             world = (inst < 0)[:, None, None]
             o_l = jnp.where(
                 world, o,
-                jnp.einsum("nij,nbj->nbi", inv[:, :, :3], o)
+                jnp.einsum("nij,nbj->nbi", inv[:, :, :3], o, precision="float32")
                 + inv[:, None, :, 3])
             d_l = jnp.where(
-                world, d, jnp.einsum("nij,nbj->nbi", inv[:, :, :3], d))
+                world, d, jnp.einsum("nij,nbj->nbi", inv[:, :, :3], d, precision="float32"))
             inv_d_l = safe_inv_dir(d_l)
         else:
             o_l, d_l, inv_d_l = o, d, inv_d

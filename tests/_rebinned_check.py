@@ -46,10 +46,11 @@ def main():
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     tm = jnp.full((R,), 1e30)
 
-    # reference: the per-ray gather walk (trace_stream's block-union
-    # path FMA-rounds one grazing slab chain differently on this
-    # adversarial overlapping fixture and misses 1/512 closer hits —
-    # brute-force Moller-Trumbore over all triangles agrees with gather)
+    # reference: the per-ray gather walk. (This fixture originally
+    # exposed a 1/512 closer-hit miss in trace_stream vs gather; root
+    # cause was XLA downcasting the batched instance-transform einsums
+    # to reduced precision at batch width >= 8 — every transform
+    # einsum/matmul now pins precision="float32" and all walkers agree.)
     a = trace_wide_rebinned(geom, o, d, tm, block=128, interpret=True)
     b = trace_gather(geom, o, d, tm)
     hits_a = np.asarray(a["tri"])

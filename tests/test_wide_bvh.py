@@ -208,6 +208,7 @@ def test_rebinned_traversal_matches_reference():
     (trace_wide_rebinned): seeds each block directly into its chosen
     instance's BLAS. Interpret-mode compile is heavy, so the check runs
     in a fresh subprocess like the HBM pipeline one."""
+    import os
     import subprocess
     import sys
 
