@@ -55,17 +55,23 @@ def main() -> int:
     verdict["ok"] &= verdict["golden"]["ok"]
     print(f"[tpu_validate] goldens: {verdict['golden']}", flush=True)
 
-    # 2. perf gate vs recorded chip goldens
+    # 2. perf gate vs recorded chip goldens. Probe lines:
+    #   "<name>   <ms> ms vs <golden_ms> ..."; the measured dict is also
+    #   printed as one JSON line.
     code, out, err = run([sys.executable, "bench/perf_gate.py"])
     probes = {}
     for line in out.splitlines():
-        mm = re.match(r"\s*(\w+)\s*:\s*([0-9.]+)\s*ms"
-                      r"(?:\s*\(golden\s*([0-9.]+))?", line)
+        if line.startswith("{"):
+            try:
+                probes.update({k: {"ms": v}
+                               for k, v in json.loads(line).items()
+                               if isinstance(v, (int, float))})
+            except json.JSONDecodeError:
+                pass
+        mm = re.match(r"\s*(\w+)\s+([0-9.]+)\s+ms\s+vs\s+([0-9.]+)", line)
         if mm:
-            probes[mm.group(1)] = {
-                "ms": float(mm.group(2)),
-                **({"golden_ms": float(mm.group(3))} if mm.group(3)
-                   else {})}
+            probes.setdefault(mm.group(1), {})["ms"] = float(mm.group(2))
+            probes[mm.group(1)]["golden_ms"] = float(mm.group(3))
     verdict["perf_gate"] = {"ok": code == 0, "probes": probes,
                             "tail": out.strip().splitlines()[-1]
                             if out.strip() else err[-200:]}
