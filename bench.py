@@ -55,6 +55,10 @@ def main() -> None:
                     help="override the bounce-step budget T")
     ap.add_argument("--quota", type=int, default=None,
                     help="override the per-pixel sample quota (spp)")
+    ap.add_argument("--strided-pixels", action="store_true",
+                    help="sample the chunk's pixels strided over the "
+                         "full frame instead of the top rows (A/B the "
+                         "pixel-population sensitivity)")
     args = ap.parse_args()
     if args.quick:
         args.res, args.spp, args.chunks = 128, 2, 1
@@ -215,6 +219,8 @@ def main_persistent(args) -> None:
     W = H = args.res
     R = (W * H) // args.chunks
     pids = jnp.arange(R, dtype=jnp.int32)
+    if args.strided_pixels:
+        pids = pids * args.chunks
     fwd_only = args.fwd_only
     spp = 4 if args.quick else (args.quota or 32)
     T = args.steps if args.steps else spp * 3

@@ -610,7 +610,7 @@ def trace_wide(geom: GeometryData, origin, direction, t_max,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
         args += [geom.winst, instinv, wdelta]
-    tri_space = pltpu.ANY if hbm_tris else pltpu.VMEM
+    tri_space = pl.ANY if hbm_tris else pltpu.VMEM
     in_specs += [
         pl.BlockSpec(memory_space=tri_space),
         pl.BlockSpec((6, B), lambda i: (0, i), memory_space=pltpu.VMEM),
