@@ -592,9 +592,18 @@ def _make_handler(state: ViewerState, console):
             t0[:3, 3] = -anchor
             t1 = np.eye(4, dtype=np.float32)
             t1[:3, 3] = anchor + (np.asarray(t, np.float32) - anchor)
-            m = t1 @ delta @ t0
+            m = t1 @ delta @ t0  # WORLD-space edit about the anchor
             for n in nodes:
-                n.transform = (m @ n.transform).astype(np.float32)
+                # conjugate into the node's parent frame: world' = m @
+                # world and world = parent_world @ local, so local' =
+                # inv(pw) @ m @ pw @ local (a raw m @ local would rotate
+                # about a parent-transformed pivot for nested nodes)
+                pw = (n.parent.world_transform()
+                      if n.parent is not None else np.eye(4))
+                pw = np.asarray(pw, np.float64)
+                n.transform = (np.linalg.inv(pw) @ m.astype(np.float64)
+                               @ pw @ np.asarray(n.transform, np.float64)
+                               ).astype(np.float32)
         s.scene.touch()
 
     def _tree_json(node):

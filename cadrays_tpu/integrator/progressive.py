@@ -133,10 +133,15 @@ def progressive_step(
             n_steps, sid_base=sid_base)
         missing = int(samples_per_step - jnp.min(cnt))
         while missing > 0:
-            # hard guarantee: m samples retire within m*ray_depth steps
+            # hard guarantee: m samples retire within m*ray_depth steps.
+            # m is rounded up to the next power of two: n_steps is a
+            # jit-static arg, so raw shortfall counts (1, 3, 2, ...)
+            # would each compile a fresh full-scan XLA program —
+            # bucketing bounds the compile set to log2(spp) variants
+            m = 1 << (missing - 1).bit_length()
             top_img, top_cnt = render_persistent(
                 scene, camera, params, width, height, samples_per_step,
-                missing * params.ray_depth, sid_base=sid_base,
+                m * params.ray_depth, sid_base=sid_base,
                 sid0=sid_base + cnt.astype(jnp.uint32), done0=cnt)
             sum_img = sum_img + top_img
             cnt = cnt + top_cnt

@@ -72,9 +72,12 @@ def render_persistent_image(scene: SceneData, camera: Camera,
                                     spp, n_steps, sample_offset)
     missing = int(spp - jnp.min(cnt))
     while missing > 0:
+        # next power of two: n_steps is jit-static, so raw shortfall
+        # counts would compile a fresh scan per distinct value
+        m = 1 << (missing - 1).bit_length()
         top_img, top_cnt = _persistent_pass(
             scene, camera, params, width, height, spp,
-            missing * params.ray_depth, sample_offset,
+            m * params.ray_depth, sample_offset,
             sid0=sample_offset + cnt.astype(jnp.uint32), done0=cnt)
         sum_img = sum_img + top_img
         cnt = cnt + top_cnt

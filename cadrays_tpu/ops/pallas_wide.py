@@ -692,8 +692,9 @@ def trace_wide_rebinned(geom: GeometryData, origin, direction, t_max,
     """
     from cadrays_tpu.ops.traverse import _coherence_key
 
-    assert geom.instanced and int(geom.inst_bridge.shape[0]) > 1 or \
-        int(geom.inst_bridge[0]) != 0x7FFFFFFF, \
+    assert geom.instanced and (
+        int(geom.inst_bridge.shape[0]) > 1
+        or int(geom.inst_bridge[0]) != 0x7FFFFFFF), \
         "rebinned traversal needs instance candidate tables"
     R = origin.shape[0]
     B = block if block is not None else BLOCK

@@ -344,9 +344,11 @@ def flatten_parts(
 
     from cadrays_tpu.geometry.wide_bvh import build_wide_bvh
 
-    # CAD scale trades leaf size down: the HBM-streamed kernel DMAs one
-    # max_leaf-row window per merged leaf, and the fully-unrolled leaf
-    # body at 64 blows past the remote-compile payload cap
+    # leaf 64 everywhere (round-5 retune): the HBM bounce sweep measured
+    # 0.58/0.72/0.88/0.87 Mray/s at leaf 16/32/48/64, and the round-3
+    # note that a 64-unrolled leaf body exceeds the remote-compile
+    # payload cap is stale (compiles fine, and ~6x fewer wide nodes also
+    # avoid the Mosaic scoped-vmem double-buffer abort)
     wl = 64
     wide = build_wide_bvh(bvh.node_min, bvh.node_max, bvh.skip,
                           bvh.first, bvh.count, wide_leaf=wl)

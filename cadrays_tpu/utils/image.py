@@ -341,7 +341,10 @@ def load_image(path: str, to_linear: bool = True) -> np.ndarray:
             from cadrays_tpu.utils.jpeg import read_jpeg
 
             img = read_jpeg(path)
-        except ValueError:
+        except (ValueError, struct.error, IndexError, KeyError):
+            # progressive/arithmetic files raise ValueError; malformed or
+            # truncated ones can surface struct/index errors — all fall
+            # back to PIL like the pre-native behavior
             img = _read_via_pil(path)
     else:
         img = _read_via_pil(path)

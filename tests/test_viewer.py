@@ -362,3 +362,37 @@ class TestTransformPanel:
 
         with pytest.raises(urllib.error.HTTPError):
             _get(url, "/transform?names=nope")
+
+    def test_multi_select_nested_parent_frame(self, viewer):
+        """A world-space anchor delta must be conjugated into each
+        node's PARENT frame: with a transformed parent group, a raw
+        local pre-multiply would rotate about a parent-warped pivot."""
+        s, state, url = viewer
+        from cadrays_tpu.cli.commands import Console
+
+        con = Console(s)
+        con.exec("psphere n1 0.1")
+        con.exec("psphere n2 0.1")
+        con.exec("vdisplay n1 n2")
+        con.exec("vlocation n1 -setLocation 1 0 0")
+        con.exec("vlocation n2 -setLocation 3 0 0")
+        con.exec("rtgroup n1 n2 -name grp")
+        grp = s.scene.model.get("grp")
+        # parent carries a translation of (0, 5, 0)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = (0, 5, 0)
+        grp.transform = m
+        t = json.loads(_get(url, "/transform?names=n1,n2"))
+        anchor = t["translation"]
+        # world centers: (1,5,0) and (3,5,0) -> anchor (2,5,0)
+        assert anchor == pytest.approx([2, 5, 0], abs=1e-4)
+        _post(url, "/transform", {
+            "names": ["n1", "n2"], "translation": anchor,
+            "rotation_deg": [0, 0, 180], "scale": [1, 1, 1]})
+        # after a world-space 180deg about (2,5,0) the spheres swap
+        w1 = (np.asarray(s.scene.model.get("n1").world_transform())
+              @ [0, 0, 0, 1])[:3]
+        w2 = (np.asarray(s.scene.model.get("n2").world_transform())
+              @ [0, 0, 0, 1])[:3]
+        assert w1 == pytest.approx([3, 5, 0], abs=1e-3)
+        assert w2 == pytest.approx([1, 5, 0], abs=1e-3)
